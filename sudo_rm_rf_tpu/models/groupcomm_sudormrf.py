@@ -1,0 +1,194 @@
+"""GroupComm SuDoRM-RF v2 (SuDoRM-RF++ GC) — 0.51M-param efficient variant.
+
+Behavioral spec from `sudo_rm_rf/dnn/models/groupcomm_sudormrf_v2.py`:
+  * same front/back end as the improved variant, but supporting
+    ``in_audio_channels`` > 1 (ref :262-267, :285-298)
+  * each separator block = TAC (transform-average-concatenate across
+    channel groups, ref :343-384) followed by one *shared-across-groups*
+    small UConvBlock applied with the group axis folded into batch
+    (ref :388-418)
+  * TAC: per-group Linear(N->3N)+PReLU, mean over groups -> Linear+PReLU,
+    concat -> Linear(2H->N)+PReLU, GlobLN over each (group, chan, time)
+    slice, residual (ref :356-384)
+
+TPU-first notes: the group fold is expressed with reshapes so XLA sees one
+big batched conv per ladder level; TAC linears are einsums over the tiny
+per-group channel dim and fuse into VPU work.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sudo_rm_rf_tpu import ops
+from sudo_rm_rf_tpu.models.layers import (
+    Conv1d,
+    ConvTranspose1d,
+    GlobLN,
+    PReLU,
+    xavier_uniform_conv,
+)
+from sudo_rm_rf_tpu.models.improved_sudormrf import UConvBlock
+
+
+class Linear(nn.Module):
+    """torch.nn.Linear over the channel axis of (..., C, T) tensors.
+
+    Weight layout (out, in) matches torch for free conversion.
+    """
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        bound = 1.0 / math.sqrt(self.in_features)
+        w = self.param(
+            "weight",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (self.out_features, self.in_features),
+        )
+        b = self.param(
+            "bias",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (self.out_features,),
+        )
+        # x: (..., C_in, T) -> (..., C_out, T)
+        return jnp.einsum("...ct,oc->...ot", x, w) + b[..., :, None]
+
+
+class TAC(nn.Module):
+    """Transform-average-concatenate over groups (ref :343-384).
+
+    Input/output: (B, G, N, T).
+    """
+
+    input_size: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, g, n, t = x.shape
+        y = Linear(self.input_size, self.hidden_size, name="TAC_input_0")(x)
+        y = PReLU(name="TAC_input_1")(y)  # (B, G, H, T)
+
+        mean = jnp.mean(y, axis=1)  # (B, H, T)
+        mean = Linear(self.hidden_size, self.hidden_size, name="TAC_mean_0")(mean)
+        mean = PReLU(name="TAC_mean_1")(mean)
+        mean = jnp.broadcast_to(mean[:, None], (b, g, self.hidden_size, t))
+
+        cat = jnp.concatenate([y, mean], axis=2)  # (B, G, 2H, T)
+        out = Linear(self.hidden_size * 2, self.input_size, name="TAC_output_0")(cat)
+        out = PReLU(name="TAC_output_1")(out)  # (B, G, N, T)
+
+        # GlobLN over each (N, T) slice per (batch, group) (ref :380-382).
+        out = GlobLN(self.input_size, name="TAC_norm")(out.reshape(b * g, n, t))
+        return x + out.reshape(b, g, n, t)
+
+
+class GCUConvBlock(nn.Module):
+    """TAC + group-folded shared UConvBlock (ref :388-418)."""
+
+    out_channels: int = 128
+    in_channels: int = 512
+    upsampling_depth: int = 4
+    num_group: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, t = x.shape
+        g = self.num_group
+        y = TAC(
+            self.out_channels // g,
+            self.out_channels * 3 // g,
+            name="TAC",
+        )(x.reshape(b, g, n // g, t))
+        y = y.reshape(b * g, n // g, t)
+        y = UConvBlock(
+            out_channels=self.out_channels // g,
+            in_channels=self.in_channels // g,
+            upsampling_depth=self.upsampling_depth,
+            name="UBlock",
+        )(y)
+        return y.reshape(b, n, t)
+
+
+class GroupCommSuDORMRF(nn.Module):
+    """GroupComm SuDoRM-RF v2. Input (B, C_audio, T), output (B, S*C_audio, T)."""
+
+    in_audio_channels: int = 1
+    out_channels: int = 256
+    in_channels: int = 512
+    num_blocks: int = 16
+    upsampling_depth: int = 5
+    enc_kernel_size: int = 21
+    enc_num_basis: int = 512
+    num_sources: int = 2
+    group_size: int = 16
+
+    @property
+    def n_least_samples_req(self) -> int:
+        return (self.enc_kernel_size // 2) * 2**self.upsampling_depth
+
+    @nn.compact
+    def __call__(self, input_wav):
+        if input_wav.ndim == 2:
+            input_wav = input_wav[:, None, :]
+        assert self.enc_kernel_size % 2, "encoder kernel must be odd"
+        in_len = input_wav.shape[-1]
+        x = ops.pad_to_multiple(input_wav, self.n_least_samples_req)
+
+        x = Conv1d(
+            self.in_audio_channels,
+            self.enc_num_basis,
+            self.enc_kernel_size,
+            stride=self.enc_kernel_size // 2,
+            padding=self.enc_kernel_size // 2,
+            use_bias=False,
+            weight_init=xavier_uniform_conv,
+            name="encoder",
+        )(x)
+        s = x
+
+        x = GlobLN(self.enc_num_basis, name="ln")(x)
+        x = Conv1d(self.enc_num_basis, self.out_channels, 1, name="bottleneck")(x)
+
+        for i in range(self.num_blocks):
+            x = GCUConvBlock(
+                out_channels=self.out_channels,
+                in_channels=self.in_channels,
+                upsampling_depth=self.upsampling_depth,
+                num_group=self.group_size,
+                name=f"sm_{i}",
+            )(x)
+
+        x = PReLU(name="mask_net_0")(x)
+        x = Conv1d(
+            self.out_channels,
+            self.num_sources * self.enc_num_basis * self.in_audio_channels,
+            1,
+            name="mask_net_1",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(
+            b, self.num_sources * self.in_audio_channels, self.enc_num_basis, -1
+        )
+        x = jax.nn.relu(x)
+        x = x * s[:, None, :, :]
+
+        est = ConvTranspose1d(
+            self.enc_num_basis * self.num_sources * self.in_audio_channels,
+            self.num_sources * self.in_audio_channels,
+            self.enc_kernel_size,
+            stride=self.enc_kernel_size // 2,
+            padding=self.enc_kernel_size // 2,
+            output_padding=(self.enc_kernel_size // 2) - 1,
+            use_bias=False,
+            weight_init=xavier_uniform_conv,
+            name="decoder",
+        )(x.reshape(b, -1, x.shape[-1]))
+        return ops.unpad_to_length(est, in_len)

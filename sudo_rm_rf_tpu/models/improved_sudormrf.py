@@ -1,0 +1,158 @@
+"""Improved SuDoRM-RF (the "relu" variant) — flagship model.
+
+Behavioral spec from the reference `sudo_rm_rf/dnn/models/improved_sudormrf.py`:
+  * encoder: bias-free Conv1d(1 -> N, k=L, stride=L//2, pad=L//2), xavier init
+    (ref :247-252)
+  * GlobLN + 1x1 bottleneck N -> C (ref :255-259)
+  * num_blocks x U-ConvBlock (ref :162-220)
+  * mask head: PReLU -> 1x1 conv C -> S*N, reshape, ReLU, multiply with the
+    *pre-norm* encoder features (ref :268-269, :295-298)
+  * decoder: dense ConvTranspose1d(S*N -> S, k=L, stride=L//2, pad=L//2,
+    output_padding=L//2-1), bias-free, xavier init (ref :272-280)
+  * pad input length to a multiple of (L//2 * 2**depth), crop output back
+    (ref :244, :303-318)
+
+The TPU-native departure: padding arithmetic is static (trace-time), the
+U-ConvBlock has an interchangeable fused-Pallas implementation, and all
+convs lower onto MXU/VPU via XLA with optional bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sudo_rm_rf_tpu import ops
+from sudo_rm_rf_tpu.models.layers import (
+    Conv1d,
+    ConvTranspose1d,
+    ConvNormAct,
+    DilatedConvNorm,
+    GlobLN,
+    NormAct,
+    PReLU,
+    xavier_uniform_conv,
+)
+
+
+class UConvBlock(nn.Module):
+    """Successive downsampling/upsampling multi-resolution block.
+
+    Ref `improved_sudormrf.py:162-220`: 1x1 proj C->Cin, a depthwise ladder of
+    `depth` levels (level 0 stride 1, k=5; levels 1.. stride 2, k=5), then a
+    reverse pass adding nearest-x2-upsampled deeper levels into shallower
+    ones, GlobLN+PReLU, and a 1x1 conv back to C with a residual.
+    """
+
+    out_channels: int = 128
+    in_channels: int = 512
+    upsampling_depth: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = ConvNormAct(self.out_channels, self.in_channels, 1, name="proj_1x1")(x)
+
+        pyramid: List[jax.Array] = []
+        cur = DilatedConvNorm(
+            self.in_channels,
+            self.in_channels,
+            kernel_size=5,
+            stride=1,
+            groups=self.in_channels,
+            name="spp_dw_0",
+        )(y)
+        pyramid.append(cur)
+        for k in range(1, self.upsampling_depth):
+            cur = DilatedConvNorm(
+                self.in_channels,
+                self.in_channels,
+                kernel_size=5,
+                stride=2,
+                groups=self.in_channels,
+                name=f"spp_dw_{k}",
+            )(cur)
+            pyramid.append(cur)
+
+        acc = pyramid[-1]
+        for k in range(self.upsampling_depth - 2, -1, -1):
+            acc = pyramid[k] + ops.upsample_nearest_2x(acc)
+
+        expanded = NormAct(self.in_channels, name="final_norm")(acc)
+        out = Conv1d(self.in_channels, self.out_channels, 1, name="res_conv")(expanded)
+        return out + residual
+
+
+class SuDORMRFImproved(nn.Module):
+    """Improved SuDoRM-RF separator. Input (B, 1, T) mixture, output (B, S, T)."""
+
+    out_channels: int = 128
+    in_channels: int = 512
+    num_blocks: int = 16
+    upsampling_depth: int = 4
+    enc_kernel_size: int = 21
+    enc_num_basis: int = 512
+    num_sources: int = 2
+
+    @property
+    def n_least_samples_req(self) -> int:
+        return (self.enc_kernel_size // 2) * 2**self.upsampling_depth
+
+    @nn.compact
+    def __call__(self, input_wav):
+        if input_wav.ndim == 2:  # allow (B, T)
+            input_wav = input_wav[:, None, :]
+        in_len = input_wav.shape[-1]
+        x = ops.pad_to_multiple(input_wav, self.n_least_samples_req)
+
+        x = Conv1d(
+            1,
+            self.enc_num_basis,
+            self.enc_kernel_size,
+            stride=self.enc_kernel_size // 2,
+            padding=self.enc_kernel_size // 2,
+            use_bias=False,
+            weight_init=xavier_uniform_conv,
+            name="encoder",
+        )(x)
+        s = x  # pre-norm encoder features, reused at the mask product
+
+        x = GlobLN(self.enc_num_basis, name="ln")(x)
+        x = Conv1d(self.enc_num_basis, self.out_channels, 1, name="bottleneck")(x)
+
+        for i in range(self.num_blocks):
+            x = UConvBlock(
+                out_channels=self.out_channels,
+                in_channels=self.in_channels,
+                upsampling_depth=self.upsampling_depth,
+                name=f"sm_{i}",
+            )(x)
+
+        x = PReLU(name="mask_net_0")(x)
+        x = Conv1d(
+            self.out_channels,
+            self.num_sources * self.enc_num_basis,
+            1,
+            name="mask_net_1",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(b, self.num_sources, self.enc_num_basis, -1)
+        x = jax.nn.relu(x)
+        x = x * s[:, None, :, :]
+
+        x = x.reshape(b, self.num_sources * self.enc_num_basis, -1)
+        est = ConvTranspose1d(
+            self.enc_num_basis * self.num_sources,
+            self.num_sources,
+            self.enc_kernel_size,
+            stride=self.enc_kernel_size // 2,
+            padding=self.enc_kernel_size // 2,
+            output_padding=(self.enc_kernel_size // 2) - 1,
+            use_bias=False,
+            weight_init=xavier_uniform_conv,
+            name="decoder",
+        )(x)
+        return ops.unpad_to_length(est, in_len)
