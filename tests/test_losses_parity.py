@@ -1,0 +1,200 @@
+"""Golden tests: losses vs the reference torch implementations on random
+batches, including best-permutation indices and gradients-through-the-max."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sudo_rm_rf_tpu import losses
+
+
+def _batch(b=4, s=2, t=800, seed=0):
+    rng = np.random.default_rng(seed)
+    est = rng.standard_normal((b, s, t)).astype(np.float32)
+    # targets correlated with (shuffled) estimates so PIT is non-trivial
+    tgt = 0.7 * est[:, ::-1, :] + 0.3 * rng.standard_normal((b, s, t)).astype(np.float32)
+    return est, tgt
+
+
+@pytest.mark.parametrize("sdr_type", ["snr", "sisdr", "sdsdr"])
+def test_pairwise_neg_sdr_matches_asteroid_copy(sdr_type):
+    from sudo_rm_rf.dnn.losses.sisdr import PairwiseNegSDR
+
+    est, tgt = _batch(s=3, seed=1)
+    want = PairwiseNegSDR(sdr_type)(torch.from_numpy(est), torch.from_numpy(tgt))
+    got = losses.pairwise_neg_sdr(jnp.array(est), jnp.array(tgt), sdr_type=sdr_type)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("s", [2, 3, 4])
+def test_pit_loss_matches_pitlosswrapper(s):
+    from sudo_rm_rf.dnn.losses.sisdr import PITLossWrapper, PairwiseNegSDR
+
+    est, tgt = _batch(s=s, seed=2)
+    ref = PITLossWrapper(PairwiseNegSDR("sisdr"), pit_from="pw_mtx")
+    want = ref(torch.from_numpy(est), torch.from_numpy(tgt)).item()
+    got = float(losses.pit_neg_sdr_loss(jnp.array(est), jnp.array(tgt)))
+    assert abs(got - want) < 1e-3
+
+
+def test_pit_loss_gradients_flow():
+    est, tgt = _batch(seed=3)
+
+    def loss_fn(e):
+        return losses.pit_neg_sdr_loss(e, jnp.array(tgt))
+
+    g = jax.grad(loss_fn)(jnp.array(est))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.parametrize("improvement", [False, True])
+@pytest.mark.parametrize("zero_mean", [False, True])
+def test_perm_invariant_sisdr_matches_reference(improvement, zero_mean):
+    from sudo_rm_rf.dnn.losses.sisdr import PermInvariantSISDR as Ref
+
+    est, tgt = _batch(b=5, s=3, seed=4)
+    mix = tgt.sum(1, keepdims=True)
+    ref = Ref(
+        batch_size=5, zero_mean=zero_mean, n_sources=3, backward_loss=True,
+        improvement=improvement,
+    )
+    want, want_perm = ref(
+        torch.from_numpy(est), torch.from_numpy(tgt),
+        initial_mixtures=torch.from_numpy(mix), return_best_permutation=True,
+    )
+    ours = losses.PermInvariantSISDR(
+        n_sources=3, zero_mean=zero_mean, improvement=improvement
+    )
+    got, got_perm = ours(
+        jnp.array(est), jnp.array(tgt),
+        initial_mixtures=jnp.array(mix), return_best_permutation=True,
+    )
+    assert abs(float(got) - want.item()) < 1e-3
+    np.testing.assert_array_equal(np.asarray(got_perm), want_perm.numpy())
+
+
+def test_perm_invariant_sisdr_individual_results():
+    from sudo_rm_rf.dnn.losses.sisdr import PermInvariantSISDR as Ref
+
+    est, tgt = _batch(b=6, s=2, seed=5)
+    ref = Ref(n_sources=2, backward_loss=False, return_individual_results=True)
+    want = ref(torch.from_numpy(est), torch.from_numpy(tgt))
+    ours = losses.PermInvariantSISDR(
+        n_sources=2, backward_loss=False, return_individual_results=True
+    )
+    got = ours(jnp.array(est), jnp.array(tgt))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("n_est,n_act", [(4, 2), (4, 4), (3, 1), (1, 1)])
+def test_stabilized_metric_matches_reference(n_est, n_act):
+    from sudo_rm_rf.dnn.losses.sisdr import StabilizedPermInvSISDRMetric as Ref
+
+    rng = np.random.default_rng(6)
+    est = rng.standard_normal((4, n_est, 700)).astype(np.float32)
+    tgt = rng.standard_normal((4, n_act, 700)).astype(np.float32)
+    tgt[:, :, :] += 0.5 * est[:, :n_act, :]
+
+    ref = Ref(
+        n_estimated_sources=n_est, n_actual_sources=n_act, backward_loss=False,
+        improvement=True,
+    )
+    want, want_perm = ref(
+        torch.from_numpy(est), torch.from_numpy(tgt), return_best_permutation=True
+    )
+    ours = losses.StabilizedPermInvSISDRMetric(
+        n_estimated_sources=n_est, n_actual_sources=n_act, backward_loss=False,
+        improvement=True,
+    )
+    got, got_perm = ours(jnp.array(est), jnp.array(tgt), return_best_permutation=True)
+    assert abs(float(got) - want.item()) < 2e-3
+    np.testing.assert_array_equal(np.asarray(got_perm), want_perm.numpy())
+
+
+def test_stabilized_metric_single_source_sums_estimates():
+    """single_source sums all estimate slots before scoring against the
+    1-source target (the reference's intent; its own code path crashes for
+    n_estimated > 1 and is never exercised that way)."""
+    rng = np.random.default_rng(11)
+    est = rng.standard_normal((3, 4, 500)).astype(np.float32)
+    tgt = est.sum(1, keepdims=True) + 0.1 * rng.standard_normal((3, 1, 500)).astype(
+        np.float32
+    )
+    ours = losses.StabilizedPermInvSISDRMetric(
+        n_estimated_sources=4, n_actual_sources=1, single_source=True,
+        backward_loss=False,
+    )
+    summed = losses.StabilizedPermInvSISDRMetric(
+        n_estimated_sources=1, n_actual_sources=1, backward_loss=False
+    )
+    got = float(ours(jnp.array(est), jnp.array(tgt)))
+    want = float(summed(jnp.array(est.sum(1, keepdims=True)), jnp.array(tgt)))
+    assert abs(got - want) < 1e-5
+
+
+def test_zero_ref_snr_matches_reference():
+    from sudo_rm_rf.dnn.losses.snr import PermInvariantSNRwithZeroRefs as Ref
+
+    rng = np.random.default_rng(7)
+    # 4 slots, 2 active + 2 silent targets (the FUSS setting)
+    tgt = np.zeros((3, 4, 600), np.float32)
+    tgt[:, :2] = rng.standard_normal((3, 2, 600))
+    est = rng.standard_normal((3, 4, 600)).astype(np.float32) * 0.5
+    est[:, :2] += 0.8 * tgt[:, :2]
+
+    ref = Ref(n_sources=4, backward_loss=True)
+    want, want_perm = ref(
+        torch.from_numpy(est), torch.from_numpy(tgt), return_best_permutation=True
+    )
+    ours = losses.PermInvariantSNRwithZeroRefs(n_sources=4)
+    got, got_perm = ours(jnp.array(est), jnp.array(tgt), return_best_permutation=True)
+    assert abs(float(got) - want.item()) < 2e-3
+    np.testing.assert_array_equal(np.asarray(got_perm), want_perm.numpy())
+
+
+def test_perm_invariant_norm_matches_reference():
+    from sudo_rm_rf.dnn.losses.norm import PermInvariantNorm as Ref
+
+    est, tgt = _batch(b=3, s=3, t=200, seed=8)
+    want = Ref(n_sources=3, weighted_norm=1.0)(
+        torch.from_numpy(est), torch.from_numpy(np.abs(tgt)),
+        weights=torch.from_numpy(np.abs(tgt) + 0.1),
+    ).item()
+    got = float(
+        losses.perm_invariant_norm(
+            jnp.array(est), jnp.array(np.abs(tgt)),
+            weights=jnp.array(np.abs(tgt) + 0.1), weighted_norm=1.0,
+        )
+    )
+    assert abs(got - want) < 1e-5
+
+
+@pytest.mark.parametrize("wtype", ["uniform", "magsq"])
+def test_mixture_consistency_matches_reference(wtype):
+    import sudo_rm_rf.dnn.experiments.utils.mixture_consistency as ref_mc
+
+    rng = np.random.default_rng(9)
+    est = rng.standard_normal((2, 3, 400)).astype(np.float32)
+    mix = rng.standard_normal((2, 1, 400)).astype(np.float32)
+    want = ref_mc.apply(torch.from_numpy(est), torch.from_numpy(mix), wtype).numpy()
+    got = np.asarray(
+        losses.mixture_consistency(jnp.array(est), jnp.array(mix), wtype)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # consistency property: corrected estimates sum to the mixture
+    np.testing.assert_allclose(got.sum(1, keepdims=True), mix, rtol=1e-4, atol=1e-4)
+
+
+def test_reordered_estimates_align_with_targets():
+    est, tgt = _batch(b=4, s=3, seed=10)
+    loss, reordered = losses.pit_neg_sdr_loss(
+        jnp.array(est), jnp.array(tgt), return_est=True
+    )
+    # after reordering, direct (non-PIT) loss must equal the PIT loss
+    pw = losses.pairwise_neg_sdr(reordered, jnp.array(tgt))
+    direct = jnp.mean(jnp.diagonal(pw, axis1=1, axis2=2))
+    assert abs(float(direct) - float(loss)) < 1e-4
