@@ -62,6 +62,7 @@ def state_dict_to_params(
     target_params: Mapping | None = None,
     *,
     ignore_unused: Iterable[str] = (),
+    ignore_leaves: Iterable[str] = ("pe",),
     dtype=np.float32,
 ) -> Dict:
     """Convert a torch state_dict to a flax param tree.
@@ -72,11 +73,17 @@ def state_dict_to_params(
         ``model.init``) used to validate coverage and shapes. Torch keys with
         no counterpart raise unless their first path component is listed in
         ``ignore_unused`` (e.g. v1's dead ``ln_mask_in``, `sudormrf.py:253`).
+      ignore_leaves: buffer names dropped everywhere — e.g. the sinusoidal
+        positional-encoding ``pe`` buffers the attentive variants register
+        (`attentive_sudormrf_v2.py:193`), recomputed on the fly here.
     Returns:
       Nested dict param tree (the contents of flax's ``params`` collection).
     """
+    drop = set(ignore_leaves)
     flat: Dict[Tuple[str, ...], np.ndarray] = {}
     for key, tensor in state_dict.items():
+        if key.split(".")[-1] in drop:
+            continue
         arr = np.asarray(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor,
             dtype=dtype,

@@ -55,9 +55,9 @@ def _register_lazy(name, modpath, clsname):
     _REGISTRY[name] = ctor
 
 
-_register_lazy("attention", "sudo_rm_rf_tpu.models.attentive_sudormrf", "AttentiveSuDORMRF")
-_register_lazy("attention_v2", "sudo_rm_rf_tpu.models.attentive_sudormrf_v2", "AttentiveSuDORMRFv2")
-_register_lazy("attention_v3", "sudo_rm_rf_tpu.models.attentive_sudormrf_v3", "AttentiveSuDORMRFv3")
+_register_lazy("attention", "sudo_rm_rf_tpu.models.attentive", "AttentiveSuDORMRF")
+_register_lazy("attention_v2", "sudo_rm_rf_tpu.models.attentive", "AttentiveSuDORMRFv2")
+_register_lazy("attention_v3", "sudo_rm_rf_tpu.models.attentive", "AttentiveSuDORMRFv3")
 _register_lazy("convtasnet", "sudo_rm_rf_tpu.models.baselines.convtasnet", "ConvTasNet")
 _register_lazy("dprnn", "sudo_rm_rf_tpu.models.baselines.dprnn", "DPRNN")
 _register_lazy("demucs", "sudo_rm_rf_tpu.models.baselines.demucs", "Demucs")

@@ -1,0 +1,367 @@
+"""Attentive SuDoRM-RF variants v1-v3.
+
+Reference behavioral specs:
+  * v1 `dnn/models/attentive_sudormrf.py`: U-ConvBlock with an
+    ``nn.MultiheadAttention`` transformer at the most-downsampled level
+    (`:215-287`). NOTE: the reference's ``MHANormLayer.forward`` references
+    ``in_linear``/``out_linear`` layers that are commented out of
+    ``__init__`` (`:163,:167`), so the upstream model crashes on forward —
+    dead code upstream. We implement the evident intent (the linears exist);
+    the parity test patches the reference the same way.
+  * v2 `dnn/models/attentive_sudormrf_v2.py`: same placement but a
+    hand-rolled einsum multi-head attention (`:199-237`) inside a
+    pre-norm-free TransformerLayer (`:240-261`).
+  * v3 `dnn/models/attentive_sudormrf_v3.py`: replaces the additive
+    upsampling ladder with cross-attention resamplers — query = shallower
+    level, key/value = deeper level (`:264-365`).
+
+The outer models share the improved-variant skeleton but pad by the v1 LCM
+rule and (v2/v3) HARDCODE n_heads=4, att_dims=256 when building blocks
+(`attentive_sudormrf_v2.py:386-391`) — reproduced faithfully.
+
+Sinusoidal positional encodings are recomputed on the fly (the reference
+stores them as a ``pe`` buffer in checkpoints; the converter drops those).
+Dropout is deterministic unless a 'dropout' RNG is provided.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sudo_rm_rf_tpu import ops
+from sudo_rm_rf_tpu.models.layers import (
+    Conv1d,
+    ConvTranspose1d,
+    ConvNormAct,
+    DilatedConvNorm,
+    GlobLN,
+    NormAct,
+    PReLU,
+    xavier_uniform_conv,
+)
+from sudo_rm_rf_tpu.models.groupcomm_sudormrf import Linear
+
+
+def sinusoidal_pe(length: int, d_model: int, dtype=jnp.float32) -> jax.Array:
+    """The classic transformer positional encoding (ref v2 `:180-196`)."""
+    position = np.arange(length, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * (-math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((length, d_model), np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term[: pe[:, 1::2].shape[1]])
+    return jnp.asarray(pe, dtype)
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class MHAttentionLayer(nn.Module):
+    """Hand-rolled einsum multi-head attention (ref v2 `:199-237`).
+
+    Inputs (B, len, emb_dim) channels-last, like the reference.
+    """
+
+    emb_dim: int
+    d_model: int
+    n_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        bs, q_len, _ = q.shape
+        kv_len = k.shape[1]
+        h, d = self.n_heads, self.d_model
+        qp = Linear(self.emb_dim, d * h, name="Q_proj")
+        kp = Linear(self.emb_dim, d * h, name="K_proj")
+        vp = Linear(self.emb_dim, d * h, name="V_proj")
+        op = Linear(d * h, self.emb_dim, name="O_proj")
+
+        # our Linear works on (..., C, T); transpose to apply on channel-last
+        def lin(layer, x):
+            return layer(jnp.swapaxes(x, -1, -2)).swapaxes(-1, -2)
+
+        qh = (1.0 / math.sqrt(d)) * lin(qp, q).reshape(bs, q_len, h, d)
+        kh = lin(kp, k).reshape(bs, kv_len, h, d)
+        vh = lin(vp, v).reshape(bs, kv_len, h, d)
+
+        logits = jnp.einsum("nlhd,nshd->nhls", qh, kh)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = Dropout(self.dropout, name="attn_drop")(attn, deterministic)
+        out = jnp.einsum("nhls,nshd->nlhd", attn, vh).reshape(bs, q_len, h * d)
+        return lin(op, out)
+
+
+class TransformerLayer(nn.Module):
+    """Self-attention + 1x1-conv FFN with GlobLNs (ref v2 `:240-261`).
+
+    Input/output (B, C, T).
+    """
+
+    emb_dim: int
+    d_model: int
+    n_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        xt = jnp.swapaxes(x, 1, 2)  # (B, T, C)
+        xt = xt + sinusoidal_pe(xt.shape[1], self.emb_dim, xt.dtype)[None]
+        xt = Dropout(self.dropout, name="pe_drop")(xt, deterministic)
+        xt = xt + MHAttentionLayer(
+            self.emb_dim, self.d_model, self.n_heads, dropout=0.0, name="mha"
+        )(xt, xt, xt, deterministic)
+        y = GlobLN(self.emb_dim, name="out_mha_norm")(jnp.swapaxes(xt, 1, 2))
+        ffn = ConvNormAct(self.emb_dim, self.emb_dim, 1, name="ffn")(y)
+        return GlobLN(self.emb_dim, name="out_norm")(ffn + y)
+
+
+class ConditionalTransformerLayer(nn.Module):
+    """Cross-attention resampler: q = shallow level, k/v = deep level
+    (ref v3 `:264-287`)."""
+
+    emb_dim: int
+    d_model: int
+    n_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q, v, deterministic: bool = True):
+        vt = jnp.swapaxes(v, 1, 2)
+        vt = vt + sinusoidal_pe(vt.shape[1], self.emb_dim, vt.dtype)[None]
+        vt = Dropout(self.dropout, name="pe_drop")(vt, deterministic)
+        qt = jnp.swapaxes(q, 1, 2)
+        qt = qt + MHAttentionLayer(
+            self.emb_dim, self.d_model, self.n_heads, dropout=0.0, name="mha"
+        )(qt, vt, vt, deterministic)
+        y = GlobLN(self.emb_dim, name="out_mha_norm")(jnp.swapaxes(qt, 1, 2))
+        ffn = ConvNormAct(self.emb_dim, self.emb_dim, 1, name="ffn")(y)
+        return GlobLN(self.emb_dim, name="out_norm")(ffn + y)
+
+
+class TorchMHA(nn.Module):
+    """torch nn.MultiheadAttention (self-attention, batch_first) with the
+    packed qkv in_proj parameter layout, for checkpoint-name parity."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = self.embed_dim
+        in_proj_w = self.param(
+            "in_proj_weight",
+            nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+            (3 * d, d),
+        )
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        out_proj = Linear(d, d, name="out_proj")
+
+        h = self.num_heads
+        hd = d // h
+        b, t, _ = x.shape
+        qkv = jnp.einsum("btc,oc->bto", x, in_proj_w) + in_proj_b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, hd) / math.sqrt(hd)
+        k = k.reshape(b, t, h, hd)
+        v = v.reshape(b, t, h, hd)
+        logits = jnp.einsum("blhd,bshd->bhls", q, k)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = Dropout(self.dropout, name="attn_drop")(attn, deterministic)
+        att_out = jnp.einsum("bhls,bshd->blhd", attn, v).reshape(b, t, d)
+        return out_proj(jnp.swapaxes(att_out, 1, 2)).swapaxes(1, 2)
+
+
+class MHANormLayer(nn.Module):
+    """v1's torch nn.MultiheadAttention-based layer (ref v1 `:152-193`),
+    with the commented-out in/out linears restored (upstream forward is
+    broken without them). Input/output (B, C, T)."""
+
+    in_dim: int
+    att_dim: int
+    num_heads: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        xt = Linear(self.in_dim, self.att_dim, name="in_linear")(x)  # (B,A,T)
+        xt = jnp.swapaxes(xt, 1, 2)  # (B, T, A)
+        xt = xt + sinusoidal_pe(xt.shape[1], self.att_dim, xt.dtype)[None]
+        xt = Dropout(self.dropout, name="pe_drop")(xt, deterministic)
+        xt = jnp.swapaxes(
+            GlobLN(self.att_dim, name="in_norm")(jnp.swapaxes(xt, 1, 2)), 1, 2
+        )
+
+        att_out = TorchMHA(
+            self.att_dim, self.num_heads, dropout=self.dropout, name="mha"
+        )(xt, deterministic)
+        y = xt + jnp.swapaxes(
+            GlobLN(self.att_dim, name="out_norm1")(jnp.swapaxes(att_out, 1, 2)), 1, 2
+        )
+        out = Linear(self.att_dim, self.in_dim, name="out_linear")(
+            jnp.swapaxes(y, 1, 2)
+        )
+        out = GlobLN(self.in_dim, name="out_norm2")(out)
+        return PReLU(name="act")(out)
+
+
+class _AttentiveUConvBlockBase(nn.Module):
+    out_channels: int = 128
+    in_channels: int = 512
+    upsampling_depth: int = 4
+    n_heads: int = 4
+    att_dims: int = 256
+    att_dropout: float = 0.1
+    variant: str = "v2"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        residual = x
+        y = ConvNormAct(self.out_channels, self.in_channels, 1, name="proj_1x1")(x)
+
+        pyramid = []
+        cur = DilatedConvNorm(
+            self.in_channels, self.in_channels, kernel_size=5, stride=1,
+            groups=self.in_channels, name="spp_dw_0",
+        )(y)
+        pyramid.append(cur)
+        for k in range(1, self.upsampling_depth):
+            cur = DilatedConvNorm(
+                self.in_channels, self.in_channels, kernel_size=5, stride=2,
+                groups=self.in_channels, name=f"spp_dw_{k}",
+            )(cur)
+            pyramid.append(cur)
+
+        if self.variant == "v3":
+            # cross-attention resamplers deepest-to-shallowest (ref v3 :356-361)
+            acc = pyramid[-1]
+            for i, k in enumerate(range(self.upsampling_depth - 2, -1, -1)):
+                acc = ConditionalTransformerLayer(
+                    self.in_channels, self.att_dims, self.n_heads,
+                    dropout=self.att_dropout, name=f"attentive_resamplers_{i}",
+                )(pyramid[k], acc, deterministic)
+        else:
+            # attention transforms the deepest level, then additive ladder
+            if self.variant == "v1":
+                att = MHANormLayer(
+                    self.in_channels, self.att_dims, num_heads=self.n_heads,
+                    dropout=self.att_dropout, name="attention",
+                )(pyramid[-1], deterministic)
+            else:
+                att = TransformerLayer(
+                    self.in_channels, self.att_dims, self.n_heads,
+                    dropout=self.att_dropout, name="attention",
+                )(pyramid[-1], deterministic)
+            acc = att
+            for k in range(self.upsampling_depth - 2, -1, -1):
+                acc = pyramid[k] + ops.upsample_nearest_2x(acc)
+
+        expanded = NormAct(self.in_channels, name="final_norm")(acc)
+        out = Conv1d(self.in_channels, self.out_channels, 1, name="res_conv")(expanded)
+        return out + residual
+
+
+class _AttentiveSuDORMRFBase(nn.Module):
+    """Shared outer skeleton (ref v2 `:339-447`): improved-style front/back
+    end, LCM padding, ReLU mask."""
+
+    out_channels: int = 128
+    in_channels: int = 512
+    num_blocks: int = 16
+    upsampling_depth: int = 4
+    enc_kernel_size: int = 21
+    enc_num_basis: int = 512
+    n_heads: int = 4
+    att_dims: int = 256
+    att_dropout: float = 0.1
+    num_sources: int = 2
+    variant: str = "v2"
+    hardcode_block_attention: bool = True  # ref v2/v3 ignore ctor attn args
+
+    @property
+    def lcm(self) -> int:
+        half = self.enc_kernel_size // 2
+        depth = 2**self.upsampling_depth
+        return abs(half * depth) // math.gcd(half, depth)
+
+    @nn.compact
+    def __call__(self, input_wav, deterministic: bool = True):
+        if input_wav.ndim == 2:
+            input_wav = input_wav[:, None, :]
+        in_len = input_wav.shape[-1]
+        x = ops.pad_to_multiple(input_wav, self.lcm)
+
+        x = Conv1d(
+            1, self.enc_num_basis, self.enc_kernel_size,
+            stride=self.enc_kernel_size // 2, padding=self.enc_kernel_size // 2,
+            use_bias=False, weight_init=xavier_uniform_conv, name="encoder",
+        )(x)
+        s = x
+        x = GlobLN(self.enc_num_basis, name="ln")(x)
+        x = Conv1d(self.enc_num_basis, self.out_channels, 1, name="bottleneck")(x)
+
+        if self.hardcode_block_attention and self.variant in ("v2", "v3"):
+            n_heads, att_dims, att_dropout = 4, 256, 0.1
+        else:
+            n_heads, att_dims, att_dropout = (
+                self.n_heads, self.att_dims, self.att_dropout,
+            )
+        for i in range(self.num_blocks):
+            x = _AttentiveUConvBlockBase(
+                out_channels=self.out_channels,
+                in_channels=self.in_channels,
+                upsampling_depth=self.upsampling_depth,
+                n_heads=n_heads,
+                att_dims=att_dims,
+                att_dropout=att_dropout,
+                variant=self.variant,
+                name=f"sm_{i}",
+            )(x, deterministic)
+
+        x = PReLU(name="mask_net_0")(x)
+        x = Conv1d(
+            self.out_channels, self.num_sources * self.enc_num_basis, 1,
+            name="mask_net_1",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(b, self.num_sources, self.enc_num_basis, -1)
+        x = jax.nn.relu(x)
+        x = x * s[:, None, :, :]
+
+        est = ConvTranspose1d(
+            self.enc_num_basis * self.num_sources, self.num_sources,
+            self.enc_kernel_size, stride=self.enc_kernel_size // 2,
+            padding=self.enc_kernel_size // 2,
+            output_padding=(self.enc_kernel_size // 2) - 1,
+            use_bias=False, weight_init=xavier_uniform_conv, name="decoder",
+        )(x.reshape(b, -1, x.shape[-1]))
+        return ops.unpad_to_length(est, in_len)
+
+
+def AttentiveSuDORMRF(**kwargs):
+    kwargs.setdefault("hardcode_block_attention", False)
+    return _AttentiveSuDORMRFBase(variant="v1", **kwargs)
+
+
+def AttentiveSuDORMRFv2(**kwargs):
+    return _AttentiveSuDORMRFBase(variant="v2", **kwargs)
+
+
+def AttentiveSuDORMRFv3(**kwargs):
+    return _AttentiveSuDORMRFBase(variant="v3", **kwargs)

@@ -1,0 +1,210 @@
+"""Generic trainer: the reference's six runner scripts as one configurable loop.
+
+The reference runners (`run_improved_sudormrf.py`, `run_sudormrf_gc_v2.py`,
+`run_fuss_separation.py`, ...) share one skeleton — augment, forward,
+optional mixture consistency, clamped PIT loss, grad-clip, Adam, stepped LR
+decay (SURVEY.md section 2.5). Here those degrees of freedom are config
+fields; the step itself is a single jitted, donated, mesh-sharded function.
+
+TPU-native structure:
+  * params/opt state replicated, batch sharded over the ``data`` mesh axis;
+    XLA inserts the ICI all-reduce for the mean-loss gradients.
+  * augmentation runs on-device inside the same jit (explicit RNG keys).
+  * the loss clamp matches the reference exactly: the *loss value* is
+    clipped, so gradients vanish when |loss| saturates
+    (`run_improved_sudormrf.py:169-171`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sudo_rm_rf_tpu import losses as losses_lib
+from sudo_rm_rf_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from sudo_rm_rf_tpu.train import augment as augment_lib
+
+
+def stepped_lr_schedule(
+    learning_rate: float, divide_lr_by: float, patience_epochs: int, steps_per_epoch: int
+):
+    """lr / divide_lr_by ** (epoch // patience) (`run_improved_sudormrf.py:179-186`)."""
+
+    def schedule(step):
+        if patience_epochs <= 0:
+            return learning_rate
+        epoch = step // max(steps_per_epoch, 1)
+        return learning_rate / (divide_lr_by ** (epoch // patience_epochs))
+
+    return schedule
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    learning_rate: float = 1e-3
+    divide_lr_by: float = 3.0
+    patience_epochs: int = 0  # 0 = constant LR
+    steps_per_epoch: int = 1
+    clip_grad_norm: float = 5.0
+    loss_clamp: float = 30.0  # 0 disables; reference uses 30 (50 for WHAMR)
+    mixture_consistency: Optional[str] = None  # None | 'uniform' | 'magsq'
+
+
+def _default_loss(est, targets):
+    return losses_lib.pit_neg_sdr_loss(est, targets, sdr_type="sisdr")
+
+
+class Trainer:
+    """Builds jitted train/eval steps for any model in the zoo.
+
+    Args:
+      model: a flax module mapping (B, C_in, T) -> (B, S, T).
+      config: TrainerConfig.
+      loss_fn: (est (B,S,T), targets (B,S,T)) -> scalar (negated metric).
+      prepare_batch: (key, raw_batch) -> (mixture (B,C_in,T), targets (B,S,T));
+        defaults to the WSJ0/WHAM online remix of a (B,S,T) source batch.
+      mesh: data-parallel mesh; defaults to all local devices.
+    """
+
+    def __init__(
+        self,
+        model,
+        config: TrainerConfig = TrainerConfig(),
+        loss_fn: Callable = _default_loss,
+        prepare_batch: Optional[Callable] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.loss_fn = loss_fn
+        self.mesh = mesh if mesh is not None else make_mesh()
+        if prepare_batch is None:
+
+            def prepare_batch(key, batch):
+                mixture, sources = augment_lib.online_remix_sources(key, batch)
+                return mixture[:, None, :], sources
+
+        self.prepare_batch = prepare_batch
+
+        schedule = stepped_lr_schedule(
+            config.learning_rate,
+            config.divide_lr_by,
+            config.patience_epochs,
+            config.steps_per_epoch,
+        )
+        clip = (
+            optax.clip_by_global_norm(config.clip_grad_norm)
+            if config.clip_grad_norm > 0
+            else optax.identity()
+        )
+        self.tx = optax.chain(clip, optax.adam(schedule))
+
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,),
+            out_shardings=(None, None),
+        )
+        self._jit_forward = jax.jit(self._forward)
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, key: jax.Array, sample_mixture: jax.Array) -> TrainState:
+        params = self.model.init(key, sample_mixture)["params"]
+        params = jax.device_put(params, self._repl)
+        opt_state = self.tx.init(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state
+        )
+
+    def state_from_params(self, params) -> TrainState:
+        params = jax.device_put(params, self._repl)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=self.tx.init(params)
+        )
+
+    # -- steps ---------------------------------------------------------------
+
+    def _forward(self, params, mixture):
+        est = self.model.apply({"params": params}, mixture)
+        if self.config.mixture_consistency is not None:
+            mix = mixture if mixture.ndim == 3 else mixture[:, None, :]
+            est = losses_lib.mixture_consistency(
+                est, mix, self.config.mixture_consistency
+            )
+        return est
+
+    def _train_step_impl(self, state: TrainState, batch, key: jax.Array):
+        mixture, targets = self.prepare_batch(key, batch)
+
+        def loss_of(params):
+            est = self._forward(params, mixture)
+            loss = self.loss_fn(est, targets)
+            if self.config.loss_clamp > 0:
+                loss = jnp.clip(loss, -self.config.loss_clamp, self.config.loss_clamp)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    def _put_batch(self, tree):
+        n_data = self.mesh.shape[DATA_AXIS]
+
+        def put(x):
+            x = jnp.asarray(x)
+            if x.shape[0] % n_data:
+                raise ValueError(
+                    f"batch size {x.shape[0]} must be divisible by the data-"
+                    f"parallel mesh size {n_data}; pad the batch or build the "
+                    f"trainer with a smaller mesh (make_mesh(n_data=...))"
+                )
+            return jax.device_put(x, self._batch_sh)
+
+        return jax.tree.map(put, tree)
+
+    def train_step(self, state: TrainState, batch, key: jax.Array):
+        return self._train_step(state, self._put_batch(batch), key)
+
+    def eval_step(self, params, mixture, targets, metric_fns=None):
+        """Compute eval metrics; metric_fns: name -> fn(est, targets, mixture)."""
+        if metric_fns is None:
+            sisdri = losses_lib.PermInvariantSISDR(
+                n_sources=targets.shape[1],
+                zero_mean=True,
+                backward_loss=False,
+                improvement=True,
+                return_individual_results=True,
+            )
+            metric_fns = {
+                "SISDRi": lambda est, t, m: sisdri(
+                    est, t, initial_mixtures=m if m.ndim == 3 else m[:, None, :]
+                )
+            }
+        mixture = self._put_batch(mixture)
+        targets = self._put_batch(targets)
+        est = self._jit_forward(params, mixture)
+        return {name: fn(est, targets, mixture) for name, fn in metric_fns.items()}
