@@ -36,20 +36,32 @@ def main():
     x = jax.random.normal(jax.random.key(1), (batch, 1, t), jnp.float32)
     params = model.init(jax.random.key(0), x)["params"]
 
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-    # warmup / compile
-    fwd(params, x).block_until_ready()
+    # Timing methodology: the axon relay makes block_until_ready unreliable
+    # (returns before execution) and bulk device_get extremely slow, so we
+    # run n data-dependent forwards inside ONE jitted while-loop (runtime n,
+    # single compile) ending in a scalar readback, and difference two n
+    # values to cancel the fixed dispatch/readback overhead.
+    def chain(p, x0, n):
+        def body(i, carry):
+            y = model.apply({"params": p}, carry)
+            return jnp.sum(y, axis=1, keepdims=True) * 0.1 + x0 * 0.9
 
-    n_iters = 20
-    best = float("inf")
-    for _ in range(3):
-        start = time.perf_counter()
-        for _ in range(n_iters):
-            out = fwd(params, x)
-        out.block_until_ready()
-        best = min(best, (time.perf_counter() - start) / n_iters)
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
 
-    audio_sec_per_sec = batch * seconds / best
+    chainj = jax.jit(chain)
+    float(chainj(params, x, 1))  # compile + warm
+
+    def timed(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            float(chainj(params, x, n))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    n_lo, n_hi = 1, 101
+    per_fwd = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+    audio_sec_per_sec = batch * seconds / per_fwd
     baseline = 213.2  # 2080 Ti fwd bs4 (BASELINE.md derived)
     print(
         json.dumps(

@@ -62,7 +62,7 @@ def state_dict_to_params(
     target_params: Mapping | None = None,
     *,
     ignore_unused: Iterable[str] = (),
-    ignore_leaves: Iterable[str] = ("pe",),
+    ignore_leaves: Iterable[str] = ("pe", "num_batches_tracked"),
     dtype=np.float32,
 ) -> Dict:
     """Convert a torch state_dict to a flax param tree.

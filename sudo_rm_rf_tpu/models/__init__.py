@@ -62,6 +62,7 @@ _register_lazy("convtasnet", "sudo_rm_rf_tpu.models.baselines.convtasnet", "Conv
 _register_lazy("dprnn", "sudo_rm_rf_tpu.models.baselines.dprnn", "DPRNN")
 _register_lazy("demucs", "sudo_rm_rf_tpu.models.baselines.demucs", "Demucs")
 _register_lazy("tdcn", "sudo_rm_rf_tpu.models.baselines.tdcn", "TDCN")
+_register_lazy("residual_tdcn", "sudo_rm_rf_tpu.models.baselines.tdcn", "ResidualTN")
 _register_lazy("sepformer", "sudo_rm_rf_tpu.models.baselines.sepformer", "SepFormer")
 
 __all__ = [

@@ -41,6 +41,7 @@ class Linear(nn.Module):
 
     in_features: int
     out_features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -52,13 +53,17 @@ class Linear(nn.Module):
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
             (self.out_features, self.in_features),
         )
-        b = self.param(
-            "bias",
-            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
-            (self.out_features,),
-        )
-        # x: (..., C_in, T) -> (..., C_out, T)
-        return jnp.einsum("...ct,oc->...ot", x, w) + b[..., :, None]
+        out = jnp.einsum("...ct,oc->...ot", x, w)
+        if self.use_bias:
+            b = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -bound, bound
+                ),
+                (self.out_features,),
+            )
+            out = out + b[..., :, None]
+        return out
 
 
 class TAC(nn.Module):

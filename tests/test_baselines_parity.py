@@ -1,0 +1,138 @@
+"""Forward parity for baseline models vs the torch reference."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sudo_rm_rf_tpu.convert import state_dict_to_params
+
+
+def _convert_and_run(ref_model, jax_model, x, ignore_unused=()):
+    ref_model.eval()
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x)).numpy()
+    shapes = jax.eval_shape(jax_model.init, jax.random.key(0), jnp.array(x))
+    params = state_dict_to_params(
+        ref_model.state_dict(), shapes["params"], ignore_unused=ignore_unused
+    )
+    got = np.asarray(jax_model.apply({"params": params}, jnp.array(x)))
+    return want, got
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_convtasnet_parity(causal):
+    from sudo_rm_rf.dnn.models.original_convtasnet import TasNet
+
+    from sudo_rm_rf_tpu.models.baselines.convtasnet import ConvTasNet
+
+    hp = dict(enc_dim=48, feature_dim=16, sr=8000, win=2, layer=3, stack=2,
+              kernel=3, num_spk=2, causal=causal)
+    torch.manual_seed(0)
+    rm = TasNet(**hp)
+    jm = ConvTasNet(**hp)
+    x = np.random.default_rng(0).standard_normal((2, 1, 3210)).astype(np.float32)
+    want, got = _convert_and_run(rm, jm, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_dprnn_parity():
+    from sudo_rm_rf.dnn.models.dprnn import FaSNet_base
+
+    from sudo_rm_rf_tpu.models.baselines.dprnn import DPRNN
+
+    torch.manual_seed(1)
+    rm = FaSNet_base(enc_dim=32, feature_dim=16, hidden_dim=24, layer=2,
+                     segment_size=20, nspk=2, win_len=2)
+    jm = DPRNN(enc_dim=32, feature_dim=16, hidden_dim=24, layer=2,
+               segment_size=20, nspk=2, win_len=2)
+    x = np.random.default_rng(1).standard_normal((2, 1600)).astype(np.float32)
+    want, got = _convert_and_run(rm, jm, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_overlap_and_add_matches_reference():
+    from sudo_rm_rf.dnn.models.dprnn import overlap_and_add as ref_ola
+
+    from sudo_rm_rf_tpu import ops
+
+    rng = np.random.default_rng(2)
+    sig = rng.standard_normal((3, 4, 10, 6)).astype(np.float32)
+    for step in (2, 3, 6):
+        want = ref_ola(torch.from_numpy(sig), step).numpy()
+        got = np.asarray(ops.overlap_and_add(jnp.array(sig), step))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_demucs_parity():
+    from sudo_rm_rf.dnn.models.demucs import Demucs as RefDemucs
+
+    from sudo_rm_rf_tpu.models.baselines.demucs import Demucs
+
+    torch.manual_seed(2)
+    hp = dict(sources=2, audio_channels=1, channels=8, depth=3, lstm_layers=2,
+              kernel_size=8, stride=4, context=3)
+    rm = RefDemucs(**hp)
+    jm = Demucs(**hp)
+    x = np.random.default_rng(3).standard_normal((2, 4000)).astype(np.float32)
+    want, got = _convert_and_run(rm, jm, x)
+    assert got.shape == want.shape == (2, 2, 4000)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_demucs_upsample_mode_parity():
+    from sudo_rm_rf.dnn.models.demucs import Demucs as RefDemucs
+
+    from sudo_rm_rf_tpu.models.baselines.demucs import Demucs
+
+    torch.manual_seed(3)
+    hp = dict(sources=2, audio_channels=1, channels=8, depth=2, lstm_layers=1,
+              kernel_size=8, stride=4, context=3, upsample=True)
+    rm = RefDemucs(**hp)
+    jm = Demucs(**hp)
+    x = np.random.default_rng(4).standard_normal((1, 4000)).astype(np.float32)
+    want, got = _convert_and_run(rm, jm, x)
+    assert got.shape == want.shape == (1, 2, 4000)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_tdcn_parity():
+    from sudo_rm_rf.dnn.models.two_step_tdcn import TDCN as RefTDCN
+
+    from sudo_rm_rf_tpu.models.baselines.tdcn import TDCN
+
+    torch.manual_seed(4)
+    hp = dict(N=32, L=21, B=16, H=24, P=3, X=3, R=2, S=2)
+    rm = RefTDCN(**hp)
+    jm = TDCN(**hp)
+    x = np.random.default_rng(5).standard_normal((2, 1, 3200)).astype(np.float32)
+    want, got = _convert_and_run(rm, jm, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_residual_tdcn_parity():
+    from sudo_rm_rf.dnn.models.two_step_tdcn import ResidualTN as RefRTN
+
+    from sudo_rm_rf_tpu.models.baselines.tdcn import ResidualTN
+
+    torch.manual_seed(5)
+    hp = dict(N=32, L=21, B=16, H=24, P=3, X=8, R=4, S=2)
+    rm = RefRTN(**hp)
+    # randomize BatchNorm running stats so the mapping is actually exercised
+    with torch.no_grad():
+        for name, buf in rm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.uniform_(-0.5, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+    jm = ResidualTN(**hp)
+    x = np.random.default_rng(6).standard_normal((1, 1, 1600)).astype(np.float32)
+    want, got = _convert_and_run(rm, jm, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-4)
