@@ -1,0 +1,125 @@
+"""Dataset dispatch: name -> loader class, root path, split translation.
+
+Reference: `sudo_rm_rf/dnn/experiments/utils/dataset_setup.py:17-106`.
+Root paths come from the config module (sudo_rm_rf_tpu.config) instead of a
+hand-edited ``__config__.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from sudo_rm_rf_tpu import config as cfg
+
+
+_SPLIT_TRANSLATORS = {
+    "WHAM": {"train": "tr", "test": "tt", "val": "cv"},
+    "WHAMR": {"train": "tr", "test": "tt", "val": "cv"},
+    "FUSS": {"train": "train", "test": "eval", "val": "validation"},
+    "MUSDB": {"train": "train", "test": "test", "val": "test"},
+}
+
+
+def create_loader_for_simple_dataset(
+    dataset_name: str,
+    separation_task: Optional[str] = None,
+    data_split: str = "train",
+    sample_rate: int = 8000,
+    min_or_max: str = "min",
+    zero_pad: bool = True,
+    timelength: float = 4.0,
+    n_channels: int = 1,
+    normalize_audio: bool = False,
+    n_samples: int = 0,
+    min_num_sources: int = 1,
+    max_num_sources: int = 4,
+    root_dirpath: Optional[str] = None,
+):
+    """Build one dataset. ``root_dirpath`` overrides the configured root."""
+    from sudo_rm_rf_tpu import data as d
+
+    common = dict(sample_rate=int(sample_rate), timelength=float(timelength),
+                  zero_pad=zero_pad, n_samples=int(n_samples))
+    augment = "tr" in data_split or data_split == "train"
+
+    if dataset_name == "WHAM":
+        root = root_dirpath or cfg.paths.wham_root
+        return d.WhamDataset(
+            root_dirpath=root, task=separation_task,
+            split=_SPLIT_TRANSLATORS["WHAM"][data_split],
+            min_or_max=min_or_max, augment=augment,
+            normalize_audio=normalize_audio, **common,
+        )
+    if dataset_name == "WHAMR":
+        root = root_dirpath or cfg.paths.whamr_root
+        return d.WhamRDataset(
+            root_dirpath=root, task=separation_task,
+            split=_SPLIT_TRANSLATORS["WHAMR"][data_split],
+            min_or_max=min_or_max, augment=augment, **common,
+        )
+    if dataset_name == "FUSS":
+        root = root_dirpath or cfg.paths.fuss_root
+        return d.FUSSDataset(
+            root_dirpath=root, split=_SPLIT_TRANSLATORS["FUSS"][data_split],
+            augment=augment, min_num_sources=min_num_sources,
+            max_num_sources=max_num_sources, **common,
+        )
+    if dataset_name == "LIBRI2MIX":
+        root = root_dirpath or cfg.paths.libri2mix_root
+        if data_split == "train":
+            # auto train-100/train-360 selection (`dataset_setup.py:47-56`)
+            split = "train-360" if n_samples > 13900 else "train-100"
+        elif data_split == "test":
+            split = "test"
+        else:
+            split = "dev"
+        return d.LibriMixDataset(
+            root_dirpath=root, task=separation_task, split=split,
+            min_or_max=min_or_max, normalize_audio=normalize_audio, **common,
+        )
+    if dataset_name == "MUSDB":
+        root = root_dirpath or (
+            cfg.paths.musdb8k_root if sample_rate == 8000 else cfg.paths.musdb_root
+        )
+        return d.MusdbDataset(
+            root_dirpath=root, split=_SPLIT_TRANSLATORS["MUSDB"][data_split],
+            augment=augment, n_channels=n_channels, **common,
+        )
+    raise ValueError(f"Dataset: {dataset_name} is not yet supported!")
+
+
+def setup(hparams: Dict) -> Dict:
+    """Build {train, val, test, train_val} generators from an hparams dict
+    (`dataset_setup.py:79-106`)."""
+    generators = {}
+    for data_split in ["train", "val", "test", "train_val"]:
+        names = hparams.get(data_split)
+        if not names:
+            generators[data_split] = None
+            continue
+        if len(names) > 1:
+            raise ValueError(
+                "Current implementation does not support training using "
+                "multiple datasets."
+            )
+        loader = create_loader_for_simple_dataset(
+            dataset_name=names[0],
+            separation_task=hparams.get("separation_task"),
+            data_split=data_split.split("_")[0],
+            sample_rate=hparams["fs"],
+            n_channels=hparams.get("n_channels", 1),
+            min_or_max=hparams.get("min_or_max", "min"),
+            zero_pad=hparams.get("zero_pad_audio", True),
+            timelength=hparams["audio_timelength"],
+            normalize_audio=hparams.get("normalize_audio", False),
+            n_samples=hparams.get("n_" + data_split, 0),
+            min_num_sources=hparams.get("min_num_sources", 1),
+            max_num_sources=hparams.get("max_num_sources", 4),
+            root_dirpath=hparams.get(f"{names[0].lower()}_root"),
+        )
+        generators[data_split] = loader.get_generator(
+            batch_size=hparams["batch_size"],
+            num_workers=hparams.get("n_jobs", 4),
+            shuffle=data_split == "train",
+        )
+    return generators

@@ -1,0 +1,375 @@
+"""SepFormer baseline (dual-path transformer, vendored from SpeechBrain).
+
+Behavioral spec from `sudo_rm_rf/dnn/models/sepformer.py`:
+  * Encoder: Conv1d(1->N, k, stride=k//2, bias-free) + ReLU (`:673-730`)
+  * Dual_Path_Model masknet (`:1412-1568`): norm -> 1x1 (bias-free) ->
+    segmentation into 50%-overlap chunks -> num_layers x
+    Dual_Computation_Block (intra transformer over chunk time, inter
+    transformer across chunks, each + GroupNorm + skips, `:1277-1408`) ->
+    PReLU -> Conv2d to spks*N -> overlap-add -> gated tanh/sigmoid ->
+    bias-free 1x1 back to N -> ReLU
+  * each transformer block = SpeechBrain TransformerEncoder (`:437-533`):
+    pre/post-norm MHA + positionwise FFN, LayerNorm eps 1e-6, plus sinusoidal
+    positional encoding ADDED ONCE at block input (`:1101-1117`)
+  * Decoder: shared bias-free ConvTranspose1d applied per source, output
+    padded/cropped to the input length (`:733-780`, `:1807-1831`)
+
+Notes: the vendored ``linear_layer_after_inter_intra=True`` path calls
+``torch.nn.Linear(out, input_size=...)`` which is a TypeError upstream — the
+repo always uses False; we implement the evident intent when enabled.
+Dropout is 0 by default (`:356`, `:477`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sudo_rm_rf_tpu import ops
+from sudo_rm_rf_tpu.models.layers import Conv1d, ConvTranspose1d, PReLU
+from sudo_rm_rf_tpu.models.sudormrf import GroupNorm1
+from sudo_rm_rf_tpu.models.groupcomm_sudormrf import Linear
+from sudo_rm_rf_tpu.models.attentive import TorchMHA, sinusoidal_pe
+from sudo_rm_rf_tpu.models.baselines.dprnn import Conv2d1x1
+
+
+class _TorchLayerNorm(nn.Module):
+    """torch.nn.LayerNorm over the last dim (params weight/bias)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * w + b
+
+
+class LayerNormLast(nn.Module):
+    """SpeechBrain LayerNorm wrapper: child module named 'norm'
+    (`sepformer.py:263-311`)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return _TorchLayerNorm(self.dim, self.eps, name="norm")(x)
+
+
+class _SBMHA(nn.Module):
+    """SpeechBrain MultiheadAttention wrapper: child 'att' (`sepformer.py:70-202`)."""
+
+    d_model: int
+    nhead: int
+
+    @nn.compact
+    def __call__(self, x):
+        return TorchMHA(self.d_model, self.nhead, name="att")(x)
+
+
+class _PosFFN(nn.Module):
+    """PositionalwiseFeedForward: Sequential ffn.{0,3} (`sepformer.py:205-260`)."""
+
+    d_model: int
+    d_ffn: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, C)
+        def lin(layer, v):
+            return layer(jnp.swapaxes(v, -1, -2)).swapaxes(-1, -2)
+
+        y = lin(Linear(self.d_model, self.d_ffn, name="ffn_0"), x)
+        y = jax.nn.relu(y)
+        return lin(Linear(self.d_ffn, self.d_model, name="ffn_3"), y)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """`sepformer.py:314-434`, regularMHA, channels-last (B, L, C)."""
+
+    d_ffn: int
+    nhead: int
+    d_model: int
+    normalize_before: bool = False
+
+    @nn.compact
+    def __call__(self, src):
+        norm1 = LayerNormLast(self.d_model, name="norm1")
+        norm2 = LayerNormLast(self.d_model, name="norm2")
+        att = _SBMHA(self.d_model, self.nhead, name="self_att")
+
+        src1 = norm1(src) if self.normalize_before else src
+        src = src + att(src1)
+        if not self.normalize_before:
+            src = norm1(src)
+
+        src1 = norm2(src) if self.normalize_before else src
+        ff = _PosFFN(self.d_model, self.d_ffn, name="pos_ffn")(src1)
+        out = src + ff
+        if not self.normalize_before:
+            out = norm2(out)
+        return out
+
+
+class _TransformerEncoder(nn.Module):
+    """SpeechBrain TransformerEncoder: layers.{j} + final norm
+    (`sepformer.py:437-533`)."""
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    d_ffn: int
+    norm_before: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for j in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.d_ffn, self.nhead, self.d_model,
+                normalize_before=self.norm_before, name=f"layers_{j}",
+            )(x)
+        return LayerNormLast(self.d_model, name="norm")(x)
+
+
+class SBTransformerBlock(nn.Module):
+    """`sepformer.py:1022-1117`: optional pos-enc add + TransformerEncoder
+    under child 'mdl'."""
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    d_ffn: int = 2048
+    use_positional_encoding: bool = False
+    norm_before: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, C)
+        if self.use_positional_encoding:
+            x = x + sinusoidal_pe(x.shape[1], self.d_model, x.dtype)[None]
+        return _TransformerEncoder(
+            self.num_layers, self.d_model, self.nhead, self.d_ffn,
+            norm_before=self.norm_before, name="mdl",
+        )(x)
+
+
+class GlobalLayerNorm4(nn.Module):
+    """SepFormer gLN over (C,K,S) with (C,1,1) params (`sepformer.py:536-607`)."""
+
+    dim: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):  # (B, C, K, S)
+        w = self.param("weight", nn.initializers.ones, (self.dim, 1, 1))
+        b = self.param("bias", nn.initializers.zeros, (self.dim, 1, 1))
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(1, 2, 3), keepdims=True)
+        return w * (x - mean) * jax.lax.rsqrt(var + self.eps) + b
+
+
+class GroupNorm1_4d(GroupNorm1):
+    """GroupNorm(1, C) applied to (B, C, K, S): normalize over (C, K, S)."""
+
+
+def _segmentation(x, k):
+    """(B, N, L) -> ((B, N, K, S), gap) (`sepformer.py:1571-1628`)."""
+    b, n, l = x.shape
+    p = k // 2
+    gap = k - (p + l % k) % k
+    if gap > 0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, gap)))
+    x = jnp.pad(x, ((0, 0), (0, 0), (p, p)))
+    seg1 = x[:, :, :-p].reshape(b, n, -1, k)
+    seg2 = x[:, :, p:].reshape(b, n, -1, k)
+    segs = jnp.concatenate([seg1, seg2], axis=3).reshape(b, n, -1, k)
+    return jnp.swapaxes(segs, 2, 3), gap
+
+
+def _over_add(x, gap):
+    """(B, N, K, S) -> (B, N, L) (`sepformer.py:1630-1663`)."""
+    b, n, k, s = x.shape
+    p = k // 2
+    x = jnp.swapaxes(x, 2, 3).reshape(b, n, -1, k * 2)
+    x1 = x[:, :, :, :k].reshape(b, n, -1)[:, :, p:]
+    x2 = x[:, :, :, k:].reshape(b, n, -1)[:, :, :-p]
+    out = x1 + x2
+    if gap > 0:
+        out = out[:, :, :-gap]
+    return out
+
+
+class DualComputationBlock(nn.Module):
+    """`sepformer.py:1277-1408` with SBTransformerBlock intra/inter models."""
+
+    out_channels: int
+    intra_cfg: dict
+    inter_cfg: dict
+    norm: str = "ln"
+    skip_around_intra: bool = True
+    linear_layer_after_inter_intra: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, K, S)
+        b, n, k, s = x.shape
+
+        intra = jnp.transpose(x, (0, 3, 2, 1)).reshape(b * s, k, n)
+        intra = SBTransformerBlock(**self.intra_cfg, name="intra_mdl")(intra)
+        if self.linear_layer_after_inter_intra:
+            intra = Linear(n, self.out_channels, name="intra_linear")(
+                jnp.swapaxes(intra, -1, -2)
+            ).swapaxes(-1, -2)
+        intra = jnp.transpose(intra.reshape(b, s, k, n), (0, 3, 2, 1))
+        if self.norm == "ln":
+            intra = GroupNorm1_4d(self.out_channels, name="intra_norm")(intra)
+        elif self.norm == "gln":
+            intra = GlobalLayerNorm4(self.out_channels, name="intra_norm")(intra)
+        if self.skip_around_intra:
+            intra = intra + x
+
+        inter = jnp.transpose(intra, (0, 2, 3, 1)).reshape(b * k, s, n)
+        inter = SBTransformerBlock(**self.inter_cfg, name="inter_mdl")(inter)
+        if self.linear_layer_after_inter_intra:
+            inter = Linear(n, self.out_channels, name="inter_linear")(
+                jnp.swapaxes(inter, -1, -2)
+            ).swapaxes(-1, -2)
+        inter = jnp.transpose(inter.reshape(b, k, s, n), (0, 3, 1, 2))
+        if self.norm == "ln":
+            inter = GroupNorm1_4d(self.out_channels, name="inter_norm")(inter)
+        elif self.norm == "gln":
+            inter = GlobalLayerNorm4(self.out_channels, name="inter_norm")(inter)
+        return inter + intra
+
+
+class _Encoder(nn.Module):
+    """Conv+ReLU encoder with child 'conv1d' (`sepformer.py:673-730`)."""
+
+    k: int
+    n: int
+
+    @nn.compact
+    def __call__(self, x):
+        return jax.nn.relu(
+            Conv1d(1, self.n, self.k, stride=self.k // 2, use_bias=False,
+                   name="conv1d")(x)
+        )
+
+
+class _MaskNet(nn.Module):
+    """Dual_Path_Model (`sepformer.py:1412-1568`). (B,N,L) -> (spks,B,N,L)."""
+
+    n_channels: int
+    chunksize: int
+    numlayers: int
+    norm: str
+    extralinear: bool
+    extraskip: bool
+    numspks: int
+    intra_cfg: dict
+    inter_cfg: dict
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.n_channels
+        x = GroupNorm1(n, name="norm")(x)
+        x = Conv1d(n, n, 1, use_bias=False, name="conv1d")(x)
+        x, gap = _segmentation(x, self.chunksize)
+        for i in range(self.numlayers):
+            x = DualComputationBlock(
+                n, self.intra_cfg, self.inter_cfg, norm=self.norm,
+                skip_around_intra=self.extraskip,
+                linear_layer_after_inter_intra=self.extralinear,
+                name=f"dual_mdl_{i}",
+            )(x)
+        x = PReLU(name="prelu")(x)
+        x = Conv2d1x1(n, n * self.numspks, name="conv2d")(x)
+        b = x.shape[0]
+        k, s = x.shape[2], x.shape[3]
+        x = x.reshape(b * self.numspks, n, k, s)
+        x = _over_add(x, gap)
+        gate_in = jnp.tanh(Conv1d(n, n, 1, name="output_0")(x))
+        gate = jax.nn.sigmoid(Conv1d(n, n, 1, name="output_gate_0")(x))
+        x = gate_in * gate
+        x = Conv1d(n, n, 1, use_bias=False, name="end_conv1x1")(x)
+        x = x.reshape(b, self.numspks, n, -1)
+        x = jax.nn.relu(x)
+        return jnp.swapaxes(x, 0, 1)  # (spks, B, N, L)
+
+
+class SepFormer(nn.Module):
+    """SepformerWrapper (`sepformer.py:1667-1831`). Input (B, T) or (B, 1, T),
+    output (B, spks, T)."""
+
+    encoder_kernel_size: int = 16
+    encoder_in_nchannels: int = 1
+    encoder_out_nchannels: int = 256
+    masknet_chunksize: int = 250
+    masknet_numlayers: int = 2
+    masknet_norm: str = "ln"
+    masknet_useextralinearlayer: bool = False
+    masknet_extraskipconnection: bool = True
+    masknet_numspks: int = 2
+    intra_numlayers: int = 8
+    inter_numlayers: int = 8
+    intra_nhead: int = 8
+    inter_nhead: int = 8
+    intra_dffn: int = 1024
+    inter_dffn: int = 1024
+    intra_use_positional: bool = True
+    inter_use_positional: bool = True
+    intra_norm_before: bool = True
+    inter_norm_before: bool = True
+
+    @nn.compact
+    def __call__(self, mix):
+        if mix.ndim == 3:
+            mix = mix[:, 0, :]
+        t_origin = mix.shape[-1]
+        n = self.encoder_out_nchannels
+        spks = self.masknet_numspks
+
+        mix_w = _Encoder(self.encoder_kernel_size, n, name="encoder")(
+            mix[:, None, :]
+        )
+
+        est_mask = _MaskNet(
+            n_channels=n,
+            chunksize=self.masknet_chunksize,
+            numlayers=self.masknet_numlayers,
+            norm=self.masknet_norm,
+            extralinear=self.masknet_useextralinearlayer,
+            extraskip=self.masknet_extraskipconnection,
+            numspks=spks,
+            intra_cfg=dict(
+                num_layers=self.intra_numlayers, d_model=n,
+                nhead=self.intra_nhead, d_ffn=self.intra_dffn,
+                use_positional_encoding=self.intra_use_positional,
+                norm_before=self.intra_norm_before,
+            ),
+            inter_cfg=dict(
+                num_layers=self.inter_numlayers, d_model=n,
+                nhead=self.inter_nhead, d_ffn=self.inter_dffn,
+                use_positional_encoding=self.inter_use_positional,
+                norm_before=self.inter_norm_before,
+            ),
+            name="masknet",
+        )(mix_w)
+        sep_h = mix_w[None] * est_mask  # (spks, B, N, L)
+
+        dec = ConvTranspose1d(
+            n, self.encoder_in_nchannels, self.encoder_kernel_size,
+            stride=self.encoder_kernel_size // 2, use_bias=False, name="decoder",
+        )
+        outs = [dec(sep_h[i])[:, 0, :] for i in range(spks)]
+        est = jnp.stack(outs, axis=-1)  # (B, T_est, spks)
+        t_est = est.shape[1]
+        if t_origin > t_est:
+            est = jnp.pad(est, ((0, 0), (0, t_origin - t_est), (0, 0)))
+        else:
+            est = est[:, :t_origin, :]
+        return jnp.swapaxes(est, 1, 2)

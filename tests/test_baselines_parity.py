@@ -136,3 +136,25 @@ def test_residual_tdcn_parity():
     want, got = _convert_and_run(rm, jm, x)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-4)
+
+
+def test_sepformer_parity():
+    from sudo_rm_rf.dnn.models.sepformer import SepformerWrapper
+
+    from sudo_rm_rf_tpu.models.baselines.sepformer import SepFormer
+
+    torch.manual_seed(6)
+    hp = dict(encoder_kernel_size=16, encoder_in_nchannels=1,
+              encoder_out_nchannels=16, masknet_chunksize=20,
+              masknet_numlayers=2, masknet_norm="ln",
+              masknet_useextralinearlayer=False, masknet_extraskipconnection=True,
+              masknet_numspks=2, intra_numlayers=2, inter_numlayers=2,
+              intra_nhead=4, inter_nhead=4, intra_dffn=32, inter_dffn=32,
+              intra_use_positional=True, inter_use_positional=True,
+              intra_norm_before=True, inter_norm_before=True)
+    rm = SepformerWrapper(**hp)
+    jm = SepFormer(**hp)
+    x = np.random.default_rng(7).standard_normal((2, 1, 1600)).astype(np.float32)
+    want, got = _convert_and_run(rm, jm, x)
+    assert got.shape == want.shape == (2, 2, 1600)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
