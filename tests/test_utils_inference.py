@@ -1,0 +1,157 @@
+"""Tests: checkpoint manager, experiment logger, overlap-add inference."""
+
+import json
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sudo_rm_rf_tpu import models
+from sudo_rm_rf_tpu.inference import OverlapAddSeparator
+from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
+from sudo_rm_rf_tpu.utils import (
+    AudioLogger,
+    CheckpointManager,
+    ExperimentLogger,
+    report_losses_mean_and_std,
+)
+
+TINY = dict(
+    out_channels=16, in_channels=32, num_blocks=1, upsampling_depth=2,
+    enc_kernel_size=9, enc_num_basis=16, num_sources=2,
+)
+
+
+def test_checkpoint_roundtrip_with_optimizer_state(tmp_path):
+    model = models.SuDORMRFImproved(**TINY)
+    trainer = Trainer(
+        model, TrainerConfig(),
+        prepare_batch=lambda key, b: (b.sum(1, keepdims=True), b),
+    )
+    src = np.random.default_rng(0).standard_normal((8, 2, 1024)).astype(np.float32)
+    state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+    state, _ = trainer.train_step(state, jnp.array(src), jax.random.key(0))
+
+    mgr = CheckpointManager(str(tmp_path), "improved")
+    mgr.save(state, "improved_epoch_1", {"epoch": 1})
+
+    fresh = trainer.init_state(jax.random.key(1), jnp.zeros((8, 1, 1024)))
+    restored = mgr.restore(fresh, "improved_epoch_1")
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state resumed too (the reference never did this)
+    for a, b in zip(
+        jax.tree.leaves(restored.opt_state), jax.tree.leaves(state.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed training continues identically
+    s1, m1 = trainer.train_step(restored, jnp.array(src), jax.random.key(1))
+    s2, m2 = trainer.train_step(state, jnp.array(src), jax.random.key(1))
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_checkpoint_best_policy(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), "m")
+    state = {"w": np.ones(3)}
+    assert mgr.save_if_best(state, "SISDRi", 10.0, epoch=1)
+    assert not mgr.save_if_best(state, "SISDRi", 9.0, epoch=2)
+    assert mgr.save_if_best(state, "SISDRi", 11.5, epoch=3)
+    best_files = [f for f in os.listdir(tmp_path) if f.startswith("best_") and not f.endswith(".json")]
+    curr_files = [f for f in os.listdir(tmp_path) if f.startswith("current_") and not f.endswith(".json")]
+    assert len(best_files) == 1 and "11.5" in best_files[0]
+    assert len(curr_files) == 1 and "9.0" not in curr_files[0]
+    restored = mgr.load_best({"w": np.zeros(3)})
+    np.testing.assert_array_equal(restored["w"], np.ones(3))
+
+
+def test_experiment_logger(tmp_path):
+    logger = ExperimentLogger(str(tmp_path), "exp1", tags=["WHAM", "relu"])
+    logger.log_parameters({"lr": 1e-3, "model": "relu"})
+    logger.log_metrics({"tr_loss": -12.0}, context="train", step=1)
+    logger.log_metrics({"val_SISDRi": 15.5}, context="validate", step=1)
+    logger.log_metric_array("val_SISDRi", np.arange(5.0), epoch=1)
+    logger.close()
+
+    d = os.path.join(tmp_path, "exp1")
+    hparams = json.load(open(os.path.join(d, "hparams.json")))
+    assert hparams["model"] == "relu"
+    lines = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
+    assert lines[0]["tr_loss"] == -12.0 and lines[1]["context"] == "validate"
+    arr = np.load(os.path.join(d, "val_SISDRi", "epoch_1.npy"))
+    np.testing.assert_array_equal(arr, np.arange(5.0))
+
+
+def test_report_losses_mean_and_std():
+    res = {"tr_loss": {"acc": [1.0, 2.0, 3.0]}, "val_SISDRi": {"acc": [10.0, 12.0]}}
+    out = report_losses_mean_and_std(res)
+    assert out["tr_loss"]["mean"] == 2.0
+    assert out["val_SISDRi"]["mean"] == 11.0
+
+
+def test_audio_logger_writes_wavs(tmp_path):
+    logger = AudioLogger(str(tmp_path), fs=8000, n_sources=2)
+    pr = np.random.default_rng(0).standard_normal((2, 2, 800)).astype(np.float32)
+    logger.log_batch(pr, pr, pr.sum(1), step=3, tag="val")
+    files = os.listdir(os.path.join(tmp_path, "val_step_3"))
+    assert "b0_mixture.wav" in files and "b1_est_s2.wav" in files
+
+
+class _EchoSeparator(nn.Module):
+    """Returns [x, -x]: source 0 reconstructs the input exactly."""
+
+    @nn.compact
+    def __call__(self, x):  # (B, 1, T)
+        dummy = self.param("w", nn.initializers.ones, (1,))
+        return jnp.concatenate([x * dummy, -x * dummy], axis=1)
+
+
+def test_overlap_add_reconstructs_exactly():
+    model = _EchoSeparator()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, 8)))["params"]
+    rng = np.random.default_rng(1)
+    mixture = rng.standard_normal(7 * 800 + 123).astype(np.float32)  # odd length
+
+    sep = OverlapAddSeparator(
+        model, params, chunk_samples=800, num_sources=2, batch_chunks=4
+    )
+    est = sep.separate(mixture)
+    assert est.shape == (2, mixture.shape[0])
+    np.testing.assert_allclose(est[0], mixture, rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_add_short_input():
+    model = _EchoSeparator()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, 8)))["params"]
+    mixture = np.random.default_rng(2).standard_normal(300).astype(np.float32)
+    sep = OverlapAddSeparator(model, params, chunk_samples=800, num_sources=2)
+    est = sep.separate(mixture)
+    assert est.shape == (2, 300)
+    np.testing.assert_allclose(est[0], mixture, rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_add_alignment_fixes_swaps():
+    model = _EchoSeparator()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, 8)))["params"]
+    sep = OverlapAddSeparator(model, params, chunk_samples=8, num_sources=2)
+    prev_tail = np.stack([np.ones(4, np.float32), -np.ones(4, np.float32)])
+    swapped = np.stack(
+        [-np.ones((8,), np.float32), np.ones((8,), np.float32)]
+    )  # sources in the wrong order
+    aligned = sep._align(prev_tail, swapped)
+    np.testing.assert_array_equal(aligned[0], np.ones(8))
+
+
+def test_overlap_add_with_real_model_compiles_once():
+    model = models.SuDORMRFImproved(**TINY)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, 640)))["params"]
+    sep = OverlapAddSeparator(
+        model, params, chunk_samples=640, num_sources=2, batch_chunks=2
+    )
+    mixture = np.random.default_rng(3).standard_normal(3000).astype(np.float32)
+    est = sep.separate(mixture)
+    assert est.shape == (2, 3000)
+    assert np.isfinite(est).all()
