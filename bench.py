@@ -25,7 +25,7 @@ def main():
     t = int(seconds * sr)
 
     model = models.SuDORMRFImproved(
-        out_channels=128,
+        out_channels=256,
         in_channels=512,
         num_blocks=16,
         upsampling_depth=5,

@@ -1,0 +1,47 @@
+"""`sudo-tpu-bench`: the performance-measurement CLI.
+
+TPU equivalent of `utils/run_performance_measures.sh` +
+`extract_model_performance.py`: sweeps models x measures, printing one JSON
+row per combination (machine-readable, like performance_results_parser).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Benchmark model compute/memory")
+    p.add_argument("--models", nargs="+", default=["sudormrf_R16"],
+                   help="names from the reference zoo, or 'all'")
+    p.add_argument("--measures", nargs="+", default=["forward"],
+                   choices=["forward", "backward"])
+    p.add_argument("--batch_sizes", nargs="+", type=int, default=[1, 4])
+    p.add_argument("--timelength", type=float, default=4.0)
+    p.add_argument("-fs", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    from sudo_rm_rf_tpu.utils.benchmark import benchmark_model, reference_model_zoo
+
+    zoo = reference_model_zoo()
+    names = list(zoo) if args.models == ["all"] else args.models
+    for name in names:
+        if name not in zoo:
+            print(f"unknown model {name}; have {sorted(zoo)}", file=sys.stderr)
+            return 1
+        model = zoo[name]()
+        for measure in args.measures:
+            for bs in args.batch_sizes:
+                row = benchmark_model(
+                    model, batch_size=bs, timelength=args.timelength,
+                    fs=args.fs, measure=measure,
+                )
+                row["model"] = name
+                print(json.dumps(row, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

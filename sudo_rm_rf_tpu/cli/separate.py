@@ -1,0 +1,96 @@
+"""`sudo-tpu-separate`: separate wav files with a checkpoint.
+
+Supports both this framework's msgpack checkpoints and the published torch
+``.pt`` checkpoints (whole pickled module or state_dict) via the converter —
+the reference's README inference recipe (`README.md:75-115`) as one command:
+
+    sudo-tpu-separate --checkpoint Improved_Sudormrf_U16_Bases512_WSJ02mix.pt \
+        --model_type relu --input mix1.wav mix2.wav --out_dir ./separated
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Separate audio files")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model_type", default="relu")
+    p.add_argument("--input", nargs="+", required=True)
+    p.add_argument("--out_dir", default="./separated")
+    p.add_argument("-fs", type=int, default=8000)
+    p.add_argument("--chunk_seconds", type=float, default=4.0)
+    p.add_argument("--batch_chunks", type=int, default=8)
+    p.add_argument("--num_sources", type=int, default=2)
+    p.add_argument("--mixture_consistency", default=None,
+                   choices=[None, "uniform", "magsq"])
+    p.add_argument("--reference_root", default=None,
+                   help="path that makes a whole-pickled torch module loadable")
+    # model hyperparams (needed for bare state_dicts / msgpack checkpoints)
+    p.add_argument("--out_channels", type=int, default=128)
+    p.add_argument("--in_channels", type=int, default=512)
+    p.add_argument("--num_blocks", type=int, default=16)
+    p.add_argument("--upsampling_depth", type=int, default=5)
+    p.add_argument("--enc_kernel_size", type=int, default=21)
+    p.add_argument("--enc_num_basis", type=int, default=512)
+    p.add_argument("--group_size", type=int, default=16)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.inference import separate_file
+
+    hp = dict(
+        out_channels=args.out_channels, in_channels=args.in_channels,
+        num_blocks=args.num_blocks, upsampling_depth=args.upsampling_depth,
+        enc_kernel_size=args.enc_kernel_size, enc_num_basis=args.enc_num_basis,
+        num_sources=args.num_sources,
+    )
+    if args.model_type == "groupcomm_v2":
+        hp["group_size"] = args.group_size
+
+    if args.checkpoint.endswith(".pt"):
+        from sudo_rm_rf_tpu.convert import load_pt_file, state_dict_to_params
+
+        sd, attrs = load_pt_file(args.checkpoint, reference_root=args.reference_root)
+        hp.update(attrs)
+        model = models.get_model(args.model_type, **hp)
+        chunk = int(args.chunk_seconds * args.fs)
+        shapes = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 1, chunk))
+        )
+        params = state_dict_to_params(
+            sd, shapes["params"], ignore_unused=("ln_mask_in",)
+        )
+    else:
+        import flax.serialization
+
+        model = models.get_model(args.model_type, **hp)
+        chunk = int(args.chunk_seconds * args.fs)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 1, chunk)))["params"]
+        with open(args.checkpoint, "rb") as fh:
+            blob = fh.read()
+        try:
+            params = flax.serialization.from_bytes(params, blob)
+        except Exception:
+            # a full TrainState checkpoint: pull its params subtree
+            state = flax.serialization.msgpack_restore(blob)
+            params = flax.serialization.from_state_dict(params, state["params"])
+
+    for path in args.input:
+        outs = separate_file(
+            model, params, path, args.out_dir, fs=args.fs,
+            chunk_seconds=args.chunk_seconds, num_sources=args.num_sources,
+            batch_chunks=args.batch_chunks,
+            mixture_consistency=args.mixture_consistency,
+        )
+        print(f"{path} -> {outs}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

