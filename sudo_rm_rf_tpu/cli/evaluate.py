@@ -1,0 +1,147 @@
+"""`sudo-tpu-evaluate`: evaluate a checkpoint on a dataset split.
+
+TPU equivalent of `sudo_rm_rf/utils/simple_whamr_evaluation.py:55-178`:
+loads a pretrained model (torch .pt via the converter, or a framework
+msgpack checkpoint), standardizes each mixture, separates, applies optional
+mixture consistency, and reports mean/median SI-SDR and SI-SDRi per sample
+(pickled + printed), using the stabilized metric for robustness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate separation quality")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model_type", default="relu")
+    p.add_argument("--dataset", default="WHAMR",
+                   choices=["WHAM", "WHAMR", "LIBRI2MIX", "FUSS"])
+    p.add_argument("--split", default="test")
+    p.add_argument("--separation_task", default="sep_clean")
+    p.add_argument("-fs", type=int, default=8000)
+    p.add_argument("--timelength", type=float, default=4.0)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--n_samples", type=int, default=0)
+    p.add_argument("--min_or_max", default="min")
+    p.add_argument("--mixture_consistency", default=None,
+                   choices=[None, "uniform", "magsq"])
+    p.add_argument("--out_pickle", default=None)
+    p.add_argument("--reference_root", default=None)
+    p.add_argument("--root_dirpath", default=None)
+    # model hyperparams
+    p.add_argument("--out_channels", type=int, default=256)
+    p.add_argument("--in_channels", type=int, default=512)
+    p.add_argument("--num_blocks", type=int, default=16)
+    p.add_argument("--upsampling_depth", type=int, default=5)
+    p.add_argument("--enc_kernel_size", type=int, default=21)
+    p.add_argument("--enc_num_basis", type=int, default=512)
+    p.add_argument("--num_sources", type=int, default=2)
+    p.add_argument("--group_size", type=int, default=16)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sudo_rm_rf_tpu import losses, models
+    from sudo_rm_rf_tpu.data.setup import create_loader_for_simple_dataset
+
+    hp = dict(
+        out_channels=args.out_channels, in_channels=args.in_channels,
+        num_blocks=args.num_blocks, upsampling_depth=args.upsampling_depth,
+        enc_kernel_size=args.enc_kernel_size, enc_num_basis=args.enc_num_basis,
+        num_sources=args.num_sources,
+    )
+    if args.model_type == "groupcomm_v2":
+        hp["group_size"] = args.group_size
+
+    t = int(args.fs * args.timelength)
+    if args.checkpoint.endswith(".pt"):
+        from sudo_rm_rf_tpu.convert import load_pt_file, state_dict_to_params
+
+        sd, attrs = load_pt_file(args.checkpoint, reference_root=args.reference_root)
+        hp.update(attrs)
+        model = models.get_model(args.model_type, **hp)
+        shapes = jax.eval_shape(model.init, jax.random.key(0), jnp.zeros((1, 1, t)))
+        params = state_dict_to_params(sd, shapes["params"],
+                                      ignore_unused=("ln_mask_in",))
+    else:
+        import flax.serialization
+
+        model = models.get_model(args.model_type, **hp)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 1, t)))["params"]
+        with open(args.checkpoint, "rb") as fh:
+            blob = fh.read()
+        try:
+            params = flax.serialization.from_bytes(params, blob)
+        except Exception:
+            state = flax.serialization.msgpack_restore(blob)
+            params = flax.serialization.from_state_dict(params, state["params"])
+
+    dataset = create_loader_for_simple_dataset(
+        dataset_name=args.dataset, separation_task=args.separation_task,
+        data_split=args.split, sample_rate=args.fs, min_or_max=args.min_or_max,
+        zero_pad=True, timelength=args.timelength, n_samples=args.n_samples,
+        root_dirpath=args.root_dirpath,
+    )
+    loader = dataset.get_generator(
+        batch_size=args.batch_size, shuffle=False, num_workers=2
+    )
+
+    sisdr = losses.PermInvariantSISDR(
+        n_sources=args.num_sources, zero_mean=True, backward_loss=False,
+        return_individual_results=True,
+    )
+    sisdri = losses.PermInvariantSISDR(
+        n_sources=args.num_sources, zero_mean=True, backward_loss=False,
+        improvement=True, return_individual_results=True,
+    )
+
+    @jax.jit
+    def forward(params, mixture):
+        mean = jnp.mean(mixture, axis=-1, keepdims=True)
+        std = jnp.std(mixture, axis=-1, keepdims=True, ddof=1)
+        xn = (mixture - mean) / (std + 1e-9)
+        est = model.apply({"params": params}, xn)
+        if args.mixture_consistency:
+            est = losses.mixture_consistency(est, xn, args.mixture_consistency)
+        # mean/std are (B, 1, 1): broadcast over (B, S, T)
+        return est * std + mean
+
+    results = {"si_sdr": [], "si_sdri": []}
+    for batch in loader:
+        if isinstance(batch, (tuple, list)):
+            mixture, targets = batch[0], batch[-1]
+            if mixture.ndim == 2:
+                mixture = mixture[:, None, :]
+        else:
+            targets = batch
+            mixture = np.asarray(batch).sum(1, keepdims=True)
+        targets = np.asarray(targets)[:, : args.num_sources]
+        est = forward(params, jnp.asarray(mixture))
+        results["si_sdr"] += np.asarray(sisdr(est, jnp.asarray(targets))).tolist()
+        results["si_sdri"] += np.asarray(
+            sisdri(est, jnp.asarray(targets), initial_mixtures=jnp.asarray(mixture))
+        ).tolist()
+
+    summary = {
+        k + "_mean": float(np.mean(v)) for k, v in results.items() if v
+    }
+    summary.update(
+        {k + "_median": float(np.median(v)) for k, v in results.items() if v}
+    )
+    summary["n_examples"] = len(results["si_sdr"])
+    print(json.dumps(summary))
+    if args.out_pickle:
+        with open(args.out_pickle, "wb") as fh:
+            pickle.dump(results, fh)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
