@@ -1,0 +1,276 @@
+"""Fused Pallas kernel for the SuDoRM-RF U-ConvBlock (inference hot path).
+
+The block (`improved_sudormrf.py:162-220`) is HBM-bound under plain XLA:
+each of proj/ladder/upsample/norm/res round-trips (C, T) feature maps to
+HBM, and every GlobLN is two more full passes. This kernel runs ONE batch
+element per grid step and keeps the whole multi-resolution pyramid in VMEM:
+
+  x (Co, T) --MXU--> proj (Ci, T) -> PReLU+GlobLN folded into the ladder
+  -> depth x depthwise k=5 convs (stride 1 then 2...) with GlobLN stats
+     computed in-register -> reverse upsample-add -> final GlobLN+PReLU
+  --MXU--> res (Co, T) + residual
+
+GlobLN normalizations are never materialized: since depthwise conv is
+linear, ``dwconv(a*x + b) = a*dwconv(x) + b*sum(w)`` per channel, so each
+level's normalization constants are folded into the next conv's input
+(two fused multiply-adds instead of a full extra pass).
+
+VMEM budget (Ci=512, Co=256, T=3200, bf16 pyramid): ~11 MB — fits a v5e
+core. Larger T should be tiled by the caller (the models pad T to
+L//2 * 2**depth multiples, and inference chunks long audio anyway).
+
+Forward-only: training takes the XLA path (this kernel has no custom VJP
+yet); parity with the XLA implementation is enforced by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sudo_rm_rf_tpu import ops
+
+
+def uconv_block_reference(x, params, depth: int):
+    """Pure-XLA reference with the exact kernel parameterization.
+
+    params dict:
+      proj_w (Ci, Co), proj_b (Ci,), proj_g/proj_beta (Ci,), proj_slope (),
+      dw_w (depth, Ci, 5), dw_b (depth, Ci), dw_g/dw_beta (depth, Ci),
+      final_g/final_beta (Ci,), final_slope (),
+      res_w (Co, Ci), res_b (Co,)
+    """
+    ci = params["proj_w"].shape[0]
+    y = jnp.einsum("co,bot->bct", params["proj_w"], x) + params["proj_b"][None, :, None]
+    y = ops.glob_ln(y, params["proj_g"], params["proj_beta"])
+    y = jnp.where(y >= 0, y, params["proj_slope"] * y)
+
+    pyramid = []
+    cur = y
+    for k in range(depth):
+        stride = 1 if k == 0 else 2
+        cur = ops.conv1d(
+            cur, params["dw_w"][k][:, None, :], params["dw_b"][k],
+            stride=stride, padding=2, groups=ci,
+        )
+        cur = ops.glob_ln(cur, params["dw_g"][k], params["dw_beta"][k])
+        pyramid.append(cur)
+
+    acc = pyramid[-1]
+    for k in range(depth - 2, -1, -1):
+        acc = pyramid[k] + ops.upsample_nearest_2x(acc)
+
+    acc = ops.glob_ln(acc, params["final_g"], params["final_beta"])
+    acc = jnp.where(acc >= 0, acc, params["final_slope"] * acc)
+    out = jnp.einsum("oc,bct->bot", params["res_w"], acc) + params["res_b"][None, :, None]
+    return out + x
+
+
+def _dw_conv_s1(x, w):
+    """Depthwise k=5 stride-1 'same' conv on (Ci, T): 5 shifted FMAs."""
+    t = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (2, 2)))
+    out = None
+    for j in range(5):
+        term = w[:, j : j + 1] * lax.dynamic_slice_in_dim(xp, j, t, axis=1)
+        out = term if out is None else out + term
+    return out
+
+
+def _dw_conv_s2(x, w):
+    """Depthwise k=5 stride-2 conv on (Ci, T) -> (Ci, T//2).
+
+    y[t] = sum_j w[j] x[2t + j - 2]. Phase-decompose x once:
+      y = w0*xe[t-1] + w1*xo[t-1] + w2*xe[t] + w3*xo[t] + w4*xe[t+1]
+    (avoids strided loads inside the tap loop).
+    """
+    ci, t = x.shape
+    th = t // 2
+    xr = x.reshape(ci, th, 2)
+    xe, xo = xr[:, :, 0], xr[:, :, 1]
+    xe_p = jnp.pad(xe, ((0, 0), (1, 1)))  # xe[t-1], xe[t], xe[t+1]
+    xo_p = jnp.pad(xo, ((0, 0), (1, 0)))  # xo[t-1], xo[t]
+    return (
+        w[:, 0:1] * xe_p[:, 0:th]
+        + w[:, 1:2] * xo_p[:, 0:th]
+        + w[:, 2:3] * xe_p[:, 1 : th + 1]
+        + w[:, 3:4] * xo_p[:, 1:]
+        + w[:, 4:5] * xe_p[:, 2 : th + 2]
+    )
+
+
+def _upsample2(x):
+    """(Ci, T) -> (Ci, 2T) nearest."""
+    ci, t = x.shape
+    return jnp.broadcast_to(x[:, :, None], (ci, t, 2)).reshape(ci, 2 * t)
+
+
+def _make_kernel(depth: int, ci: int, co: int, t: int, eps: float = 1e-8):
+    lens = [t // (2**max(k, 0)) for k in range(depth)]  # level lengths
+
+    def kernel(
+        x_ref, proj_w_ref, proj_b_ref, proj_g_ref, proj_beta_ref,
+        proj_slope_ref, dw_w_ref, dw_b_ref, dw_g_ref, dw_beta_ref,
+        final_g_ref, final_beta_ref, final_slope_ref, res_w_ref, res_b_ref,
+        out_ref, *level_refs,
+    ):
+        x = x_ref[0]  # (Co, T)
+
+        # ---- proj 1x1 on MXU + GlobLN + PReLU ---------------------------
+        y = (
+            jnp.dot(proj_w_ref[:], x, preferred_element_type=jnp.float32)
+            + proj_b_ref[:]
+        )
+        mean = jnp.sum(y) / (ci * t)
+        var = jnp.sum((y - mean) ** 2) / (ci * t)
+        y = proj_g_ref[:] * ((y - mean) * lax.rsqrt(var + eps)) + proj_beta_ref[:]
+        slope = proj_slope_ref[0, 0]
+        y = jnp.where(y >= 0, y, slope * y)
+
+        # ---- ladder: conv -> (stats only); norm folded into next conv ---
+        # After level k's conv, we know raw o_k plus scalar stats; instead of
+        # rewriting o_k normalized, carry per-channel (a, b) with
+        # norm(o) = a*o + b and fold into conv k+1's input transform.
+        a = jnp.ones((ci, 1), jnp.float32)
+        b = jnp.zeros((ci, 1), jnp.float32)
+        cur = y
+        folds = []  # per-level (a, b) with norm(o_k) = a*o_k + b
+        for k in range(depth):
+            w_k = dw_w_ref[k]  # (Ci, 5)
+            x_in = a * cur + b  # folded normalization of previous level
+            if k == 0:
+                o = _dw_conv_s1(x_in, w_k)
+            else:
+                o = _dw_conv_s2(x_in, w_k)
+            o = o + dw_b_ref[k]  # (Ci, 1) broadcast
+            n_k = ci * lens[k]
+            mean = jnp.sum(o) / n_k
+            var = jnp.sum((o - mean) ** 2) / n_k
+            inv = lax.rsqrt(var + eps)
+            g = dw_g_ref[k]
+            be = dw_beta_ref[k]
+            a = g * inv
+            b = be - g * inv * mean
+            folds.append((a, b))
+            # store the RAW conv output (normalization folded on read)
+            level_refs[k][:] = o.astype(level_refs[k].dtype)
+            cur = o
+
+        # ---- reverse upsample-add ---------------------------------------
+        a, b = folds[depth - 1]
+        acc = a * level_refs[depth - 1][:].astype(jnp.float32) + b
+        for k in range(depth - 2, -1, -1):
+            a, b = folds[k]
+            normed = a * level_refs[k][:].astype(jnp.float32) + b
+            acc = normed + _upsample2(acc)
+
+        # ---- final GlobLN + PReLU + res 1x1 on MXU + residual ------------
+        mean = jnp.sum(acc) / (ci * t)
+        var = jnp.sum((acc - mean) ** 2) / (ci * t)
+        acc = final_g_ref[:] * ((acc - mean) * lax.rsqrt(var + eps)) + final_beta_ref[:]
+        fslope = final_slope_ref[0, 0]
+        acc = jnp.where(acc >= 0, acc, fslope * acc)
+        out = (
+            jnp.dot(res_w_ref[:], acc, preferred_element_type=jnp.float32)
+            + res_b_ref[:]
+        )
+        out_ref[0] = out + x
+
+    return kernel, lens
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "pyramid_dtype", "interpret"))
+def fused_uconv_block(
+    x: jax.Array,
+    params: dict,
+    depth: int = 5,
+    pyramid_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run the fused U-ConvBlock. x: (B, Co, T); returns (B, Co, T).
+
+    T must be divisible by 2**(depth-1) (guaranteed by the model's front-end
+    padding, `improved_sudormrf.py:244`).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, co, t = x.shape
+    ci = params["proj_w"].shape[0]
+    assert t % (2 ** (depth - 1)) == 0, (t, depth)
+
+    kernel, lens = _make_kernel(depth, ci, co, t)
+
+    col = lambda v: v.reshape(-1, 1).astype(jnp.float32)  # (C,) -> (C, 1)
+    smem_scalar = lambda v: v.reshape(1, 1).astype(jnp.float32)
+    inputs = [
+        x.astype(jnp.float32),
+        params["proj_w"].astype(jnp.float32),
+        col(params["proj_b"]),
+        col(params["proj_g"]),
+        col(params["proj_beta"]),
+        smem_scalar(params["proj_slope"]),
+        params["dw_w"].astype(jnp.float32),
+        params["dw_b"].astype(jnp.float32)[..., None],  # (D, Ci, 1): 2D slices
+        params["dw_g"].astype(jnp.float32)[..., None],
+        params["dw_beta"].astype(jnp.float32)[..., None],
+        col(params["final_g"]),
+        col(params["final_beta"]),
+        smem_scalar(params["final_slope"]),
+        params["res_w"].astype(jnp.float32),
+        col(params["res_b"]),
+    ]
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    batch_spec = pl.BlockSpec((1, co, t), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [batch_spec] + [vmem()] * 4 + [
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+    ] + [vmem()] * 4 + [vmem()] * 2 + [
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+    ] + [vmem()] * 2
+
+    scratch = [pltpu.VMEM((ci, lens[k]), pyramid_dtype) for k in range(depth)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, co, t), jnp.float32),
+        in_specs=in_specs,
+        out_specs=batch_spec,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def params_from_flax(block_params: dict) -> dict:
+    """Map a flax UConvBlock param subtree (improved variant naming) to the
+    kernel's parameterization."""
+    depth = len([k for k in block_params if k.startswith("spp_dw_")])
+    dw_w = jnp.stack(
+        [block_params[f"spp_dw_{k}"]["conv"]["weight"][:, 0, :] for k in range(depth)]
+    )
+    dw_b = jnp.stack([block_params[f"spp_dw_{k}"]["conv"]["bias"] for k in range(depth)])
+    dw_g = jnp.stack([block_params[f"spp_dw_{k}"]["norm"]["gamma"] for k in range(depth)])
+    dw_beta = jnp.stack([block_params[f"spp_dw_{k}"]["norm"]["beta"] for k in range(depth)])
+    return {
+        "proj_w": block_params["proj_1x1"]["conv"]["weight"][:, :, 0],
+        "proj_b": block_params["proj_1x1"]["conv"]["bias"],
+        "proj_g": block_params["proj_1x1"]["norm"]["gamma"],
+        "proj_beta": block_params["proj_1x1"]["norm"]["beta"],
+        "proj_slope": block_params["proj_1x1"]["act"]["weight"][0],
+        "dw_w": dw_w,
+        "dw_b": dw_b,
+        "dw_g": dw_g,
+        "dw_beta": dw_beta,
+        "final_g": block_params["final_norm"]["norm"]["gamma"],
+        "final_beta": block_params["final_norm"]["norm"]["beta"],
+        "final_slope": block_params["final_norm"]["act"]["weight"][0],
+        "res_w": block_params["res_conv"]["weight"][:, :, 0],
+        "res_b": block_params["res_conv"]["bias"],
+    }

@@ -1,0 +1,88 @@
+"""Fused Pallas U-ConvBlock: parity vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sudo_rm_rf_tpu import models
+from sudo_rm_rf_tpu.models.fast_inference import improved_forward_fast
+from sudo_rm_rf_tpu.models.improved_sudormrf import UConvBlock
+from sudo_rm_rf_tpu.ops.pallas.uconv import (
+    fused_uconv_block,
+    params_from_flax,
+    uconv_block_reference,
+)
+
+
+def _rand_params(depth, ci, co, seed=0):
+    rng = np.random.default_rng(seed)
+    p = {
+        "proj_w": rng.standard_normal((ci, co)).astype(np.float32) * 0.1,
+        "proj_b": rng.standard_normal(ci).astype(np.float32) * 0.1,
+        "proj_g": rng.uniform(0.5, 1.5, ci).astype(np.float32),
+        "proj_beta": rng.standard_normal(ci).astype(np.float32) * 0.1,
+        "proj_slope": np.float32(0.25),
+        "dw_w": rng.standard_normal((depth, ci, 5)).astype(np.float32) * 0.3,
+        "dw_b": rng.standard_normal((depth, ci)).astype(np.float32) * 0.1,
+        "dw_g": rng.uniform(0.5, 1.5, (depth, ci)).astype(np.float32),
+        "dw_beta": rng.standard_normal((depth, ci)).astype(np.float32) * 0.1,
+        "final_g": rng.uniform(0.5, 1.5, ci).astype(np.float32),
+        "final_beta": rng.standard_normal(ci).astype(np.float32) * 0.1,
+        "final_slope": np.float32(0.25),
+        "res_w": rng.standard_normal((co, ci)).astype(np.float32) * 0.1,
+        "res_b": rng.standard_normal(co).astype(np.float32) * 0.1,
+    }
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+@pytest.mark.parametrize("depth,t", [(4, 512), (5, 640)])
+def test_fused_kernel_matches_reference(depth, t):
+    params = _rand_params(depth, 64, 32, seed=depth)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 32, t)).astype(np.float32)
+    )
+    want = np.asarray(uconv_block_reference(x, params, depth))
+    got = np.asarray(fused_uconv_block(x, params, depth=depth, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_reference_param_mapping_matches_flax_block():
+    """kernel parameterization == the flax UConvBlock, via params_from_flax."""
+    blk = UConvBlock(out_channels=32, in_channels=64, upsampling_depth=4)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 32, 512)).astype(np.float32)
+    )
+    variables = blk.init(jax.random.key(0), x)
+    want = np.asarray(blk.apply(variables, x))
+    kp = params_from_flax(variables["params"])
+    got = np.asarray(uconv_block_reference(x, kp, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_improved_forward_fast_matches_model():
+    hp = dict(out_channels=32, in_channels=64, num_blocks=2, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=24, num_sources=2)
+    model = models.SuDORMRFImproved(**hp)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 1, 661)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(variables, x))
+
+    got_xla = np.asarray(
+        improved_forward_fast(
+            variables["params"], x, num_blocks=2, upsampling_depth=3,
+            enc_kernel_size=21, num_sources=2, use_pallas=False,
+        )
+    )
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-5)
+
+    got_pl = np.asarray(
+        improved_forward_fast(
+            variables["params"], x, num_blocks=2, upsampling_depth=3,
+            enc_kernel_size=21, num_sources=2, use_pallas=True, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-5)
