@@ -68,6 +68,36 @@ def read_wav(path: str) -> Tuple[int, np.ndarray]:
     return sr, data
 
 
+def read_wav_window(path: str, start: int, want: int) -> np.ndarray:
+    """Read `want` mono float32 samples starting at `start` (zero-padded past
+    EOF) — through the native decoder when available, decoding only the
+    window instead of the whole file."""
+    from sudo_rm_rf_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        return native.read_batch([path], want, starts=[start])[0]
+    _, wav = read_wav(path)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=-1)
+    out = np.zeros(want, np.float32)
+    chunk = wav[start : start + want]
+    out[: chunk.shape[0]] = chunk
+    return out
+
+
+def wav_frames(path: str) -> int:
+    """Number of frames, header-only when the native lib is available."""
+    from sudo_rm_rf_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        n, _, _ = native.wav_info(path)
+        return n
+    _, wav = read_wav(path)
+    return wav.shape[0]
+
+
 def normalize_wav(wav: np.ndarray, eps: float = 1e-8, std=None) -> np.ndarray:
     """(x - mean) / (std + eps); std defaults to the wav's own (ddof=1 to
     match torch.std, `wham.py:50-55`)."""
@@ -100,14 +130,22 @@ def length_metadata(
     if os.path.lexists(cache_path):
         with open(cache_path, "rb") as fh:
             return pickle.load(fh)
+
+    from sudo_rm_rf_tpu import native
+
+    lib = native.get_lib()
     info = []
     for p in sorted(wav_paths):
-        sr, wav = read_wav(p)
+        if lib is not None:  # header-only probe: no decode
+            n, sr, _ = native.wav_info(p)
+        else:
+            sr, wav = read_wav(p)
+            n = wav.shape[-1]
         if expected_sr is not None and sr != expected_sr:
             raise DatasetConfigError(
                 f"{p}: sample rate {sr} != expected {expected_sr}"
             )
-        info.append((os.path.basename(p), wav.shape[-1]))
+        info.append((os.path.basename(p), n))
     try:
         with open(cache_path, "wb") as fh:
             pickle.dump(info, fh)

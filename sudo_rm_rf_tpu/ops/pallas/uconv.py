@@ -76,8 +76,8 @@ def _dw_conv_s1(x, w):
     t = x.shape[-1]
     xp = jnp.pad(x, ((0, 0), (2, 2)))
     out = None
-    for j in range(5):
-        term = w[:, j : j + 1] * lax.dynamic_slice_in_dim(xp, j, t, axis=1)
+    for j in range(5):  # static slices only: pallas TPU lacks dynamic_slice
+        term = w[:, j : j + 1] * xp[:, j : j + t]
         out = term if out is None else out + term
     return out
 
