@@ -71,43 +71,50 @@ def uconv_block_reference(x, params, depth: int):
     return out + x
 
 
+# ---------------------------------------------------------------------------
+# In-kernel helpers. LAYOUT: time-major (T, C) — time on sublanes, channels
+# on lanes. The axon Mosaic backend rejects minor-dim (lane) reshapes and
+# strided slices, but handles leading-dim splits/merges; time-major turns
+# de/interleaving into exactly those (see .claude/skills/verify/SKILL.md).
+# ---------------------------------------------------------------------------
+
+
 def _dw_conv_s1(x, w):
-    """Depthwise k=5 stride-1 'same' conv on (Ci, T): 5 shifted FMAs."""
-    t = x.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (2, 2)))
+    """Depthwise k=5 stride-1 'same' conv on (T, Ci); w: (5, Ci)."""
+    t = x.shape[0]
+    xp = jnp.pad(x, ((2, 2), (0, 0)))
     out = None
     for j in range(5):  # static slices only: pallas TPU lacks dynamic_slice
-        term = w[:, j : j + 1] * xp[:, j : j + t]
+        term = w[j : j + 1, :] * xp[j : j + t, :]
         out = term if out is None else out + term
     return out
 
 
 def _dw_conv_s2(x, w):
-    """Depthwise k=5 stride-2 conv on (Ci, T) -> (Ci, T//2).
+    """Depthwise k=5 stride-2 conv on (T, Ci) -> (T//2, Ci); w: (5, Ci).
 
-    y[t] = sum_j w[j] x[2t + j - 2]. Phase-decompose x once:
+    y[t] = sum_j w[j] x[2t + j - 2]. Phase-decompose (leading-dim reshape):
       y = w0*xe[t-1] + w1*xo[t-1] + w2*xe[t] + w3*xo[t] + w4*xe[t+1]
-    (avoids strided loads inside the tap loop).
     """
-    ci, t = x.shape
+    t, ci = x.shape
     th = t // 2
-    xr = x.reshape(ci, th, 2)
-    xe, xo = xr[:, :, 0], xr[:, :, 1]
-    xe_p = jnp.pad(xe, ((0, 0), (1, 1)))  # xe[t-1], xe[t], xe[t+1]
-    xo_p = jnp.pad(xo, ((0, 0), (1, 0)))  # xo[t-1], xo[t]
+    xr = x.reshape(th, 2, ci)
+    xe, xo = xr[:, 0, :], xr[:, 1, :]
+    xe_p = jnp.pad(xe, ((1, 1), (0, 0)))  # xe[t-1], xe[t], xe[t+1]
+    xo_p = jnp.pad(xo, ((1, 0), (0, 0)))  # xo[t-1], xo[t]
     return (
-        w[:, 0:1] * xe_p[:, 0:th]
-        + w[:, 1:2] * xo_p[:, 0:th]
-        + w[:, 2:3] * xe_p[:, 1 : th + 1]
-        + w[:, 3:4] * xo_p[:, 1:]
-        + w[:, 4:5] * xe_p[:, 2 : th + 2]
+        w[0:1, :] * xe_p[0:th, :]
+        + w[1:2, :] * xo_p[0:th, :]
+        + w[2:3, :] * xe_p[1 : th + 1, :]
+        + w[3:4, :] * xo_p[1:, :]
+        + w[4:5, :] * xe_p[2 : th + 2, :]
     )
 
 
 def _upsample2(x):
-    """(Ci, T) -> (Ci, 2T) nearest."""
-    ci, t = x.shape
-    return jnp.broadcast_to(x[:, :, None], (ci, t, 2)).reshape(ci, 2 * t)
+    """(T, Ci) -> (2T, Ci) nearest (leading-dim broadcast+merge)."""
+    t, ci = x.shape
+    return jnp.broadcast_to(x[:, None, :], (t, 2, ci)).reshape(2 * t, ci)
 
 
 def _make_kernel(depth: int, ci: int, co: int, t: int, eps: float = 1e-8):
@@ -119,13 +126,14 @@ def _make_kernel(depth: int, ci: int, co: int, t: int, eps: float = 1e-8):
         final_g_ref, final_beta_ref, final_slope_ref, res_w_ref, res_b_ref,
         out_ref, *level_refs,
     ):
-        x = x_ref[0]  # (Co, T)
+        x = x_ref[0]  # (T, Co) time-major
 
         # ---- proj 1x1 on MXU + GlobLN + PReLU ---------------------------
+        # proj_w_ref holds W^T: (Co, Ci)
         y = (
-            jnp.dot(proj_w_ref[:], x, preferred_element_type=jnp.float32)
+            jnp.dot(x, proj_w_ref[:], preferred_element_type=jnp.float32)
             + proj_b_ref[:]
-        )
+        )  # (T, Ci)
         mean = jnp.sum(y) / (ci * t)
         var = jnp.sum((y - mean) ** 2) / (ci * t)
         y = proj_g_ref[:] * ((y - mean) * lax.rsqrt(var + eps)) + proj_beta_ref[:]
@@ -134,20 +142,20 @@ def _make_kernel(depth: int, ci: int, co: int, t: int, eps: float = 1e-8):
 
         # ---- ladder: conv -> (stats only); norm folded into next conv ---
         # After level k's conv, we know raw o_k plus scalar stats; instead of
-        # rewriting o_k normalized, carry per-channel (a, b) with
+        # rewriting o_k normalized, carry per-channel row vectors (a, b) with
         # norm(o) = a*o + b and fold into conv k+1's input transform.
-        a = jnp.ones((ci, 1), jnp.float32)
-        b = jnp.zeros((ci, 1), jnp.float32)
+        a = jnp.ones((1, ci), jnp.float32)
+        b = jnp.zeros((1, ci), jnp.float32)
         cur = y
         folds = []  # per-level (a, b) with norm(o_k) = a*o_k + b
         for k in range(depth):
-            w_k = dw_w_ref[k]  # (Ci, 5)
+            w_k = dw_w_ref[k]  # (5, Ci)
             x_in = a * cur + b  # folded normalization of previous level
             if k == 0:
                 o = _dw_conv_s1(x_in, w_k)
             else:
                 o = _dw_conv_s2(x_in, w_k)
-            o = o + dw_b_ref[k]  # (Ci, 1) broadcast
+            o = o + dw_b_ref[k]  # (1, Ci) broadcast
             n_k = ci * lens[k]
             mean = jnp.sum(o) / n_k
             var = jnp.sum((o - mean) ** 2) / n_k
@@ -175,8 +183,9 @@ def _make_kernel(depth: int, ci: int, co: int, t: int, eps: float = 1e-8):
         acc = final_g_ref[:] * ((acc - mean) * lax.rsqrt(var + eps)) + final_beta_ref[:]
         fslope = final_slope_ref[0, 0]
         acc = jnp.where(acc >= 0, acc, fslope * acc)
+        # res_w_ref holds W^T: (Ci, Co)
         out = (
-            jnp.dot(res_w_ref[:], acc, preferred_element_type=jnp.float32)
+            jnp.dot(acc, res_w_ref[:], preferred_element_type=jnp.float32)
             + res_b_ref[:]
         )
         out_ref[0] = out + x
@@ -206,28 +215,28 @@ def fused_uconv_block(
 
     kernel, lens = _make_kernel(depth, ci, co, t)
 
-    col = lambda v: v.reshape(-1, 1).astype(jnp.float32)  # (C,) -> (C, 1)
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)  # (C,) -> (1, C)
     smem_scalar = lambda v: v.reshape(1, 1).astype(jnp.float32)
     inputs = [
-        x.astype(jnp.float32),
-        params["proj_w"].astype(jnp.float32),
-        col(params["proj_b"]),
-        col(params["proj_g"]),
-        col(params["proj_beta"]),
+        jnp.swapaxes(x, 1, 2).astype(jnp.float32),  # (B, T, Co) time-major
+        params["proj_w"].astype(jnp.float32).T,  # (Co, Ci)
+        row(params["proj_b"]),
+        row(params["proj_g"]),
+        row(params["proj_beta"]),
         smem_scalar(params["proj_slope"]),
-        params["dw_w"].astype(jnp.float32),
-        params["dw_b"].astype(jnp.float32)[..., None],  # (D, Ci, 1): 2D slices
-        params["dw_g"].astype(jnp.float32)[..., None],
-        params["dw_beta"].astype(jnp.float32)[..., None],
-        col(params["final_g"]),
-        col(params["final_beta"]),
+        jnp.swapaxes(params["dw_w"].astype(jnp.float32), 1, 2),  # (D, 5, Ci)
+        params["dw_b"].astype(jnp.float32)[:, None, :],  # (D, 1, Ci)
+        params["dw_g"].astype(jnp.float32)[:, None, :],
+        params["dw_beta"].astype(jnp.float32)[:, None, :],
+        row(params["final_g"]),
+        row(params["final_beta"]),
         smem_scalar(params["final_slope"]),
-        params["res_w"].astype(jnp.float32),
-        col(params["res_b"]),
+        params["res_w"].astype(jnp.float32).T,  # (Ci, Co)
+        row(params["res_b"]),
     ]
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    batch_spec = pl.BlockSpec((1, co, t), lambda i: (i, 0, 0),
+    batch_spec = pl.BlockSpec((1, t, co), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     in_specs = [batch_spec] + [vmem()] * 4 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -235,17 +244,18 @@ def fused_uconv_block(
         pl.BlockSpec(memory_space=pltpu.SMEM)
     ] + [vmem()] * 2
 
-    scratch = [pltpu.VMEM((ci, lens[k]), pyramid_dtype) for k in range(depth)]
+    scratch = [pltpu.VMEM((lens[k], ci), pyramid_dtype) for k in range(depth)]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((b, co, t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t, co), jnp.float32),
         in_specs=in_specs,
         out_specs=batch_spec,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
+    return jnp.swapaxes(out, 1, 2)  # back to (B, Co, T)
 
 
 def params_from_flax(block_params: dict) -> dict:

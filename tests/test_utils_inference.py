@@ -155,3 +155,21 @@ def test_overlap_add_with_real_model_compiles_once():
     est = sep.separate(mixture)
     assert est.shape == (2, 3000)
     assert np.isfinite(est).all()
+
+
+def test_visualization_heatmaps(tmp_path):
+    from sudo_rm_rf_tpu.utils.visualization import log_masks_and_bases
+
+    masks = np.random.default_rng(0).random((2, 16, 50)).astype(np.float32)
+    enc = np.random.default_rng(1).random((16, 1, 21)).astype(np.float32)
+    paths = log_masks_and_bases(str(tmp_path), masks=masks, encoder_basis=enc, step=1)
+    # matplotlib is present in this image; expect 3 pngs
+    assert len(paths) == 3
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_progress_wrapper_equivalence():
+    from sudo_rm_rf_tpu.utils.progress import progress_bar_wrapper
+
+    out = progress_bar_wrapper(lambda x: x * 2, [1, 2, 3], "doubling")
+    assert out == [2, 4, 6]
