@@ -24,6 +24,7 @@ from sudo_rm_rf_tpu import ops
 from sudo_rm_rf_tpu.ops.pallas.uconv import (
     fused_uconv_block,
     params_from_flax,
+    uconv_block_fma,
     uconv_block_reference,
 )
 
@@ -31,7 +32,7 @@ from sudo_rm_rf_tpu.ops.pallas.uconv import (
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "upsampling_depth", "enc_kernel_size",
-                     "num_sources", "use_pallas", "interpret"),
+                     "num_sources", "use_pallas", "interpret", "impl"),
 )
 def improved_forward_fast(
     params: dict,
@@ -42,6 +43,7 @@ def improved_forward_fast(
     num_sources: int = 2,
     use_pallas: bool = True,
     interpret: bool = False,
+    impl: str = None,
 ) -> jax.Array:
     """params: the flax 'params' tree of SuDORMRFImproved. x: (B, 1|-, T)."""
     if input_wav.ndim == 2:
@@ -63,11 +65,15 @@ def improved_forward_fast(
         + params["bottleneck"]["bias"][None, :, None]
     )
 
+    if impl is None:
+        impl = "pallas" if use_pallas else "xla"
     for i in range(num_blocks):
         kp = params_from_flax(params[f"sm_{i}"])
-        if use_pallas:
+        if impl == "pallas":
             x = fused_uconv_block(x, kp, depth=upsampling_depth,
                                   interpret=interpret)
+        elif impl == "fma":
+            x = uconv_block_fma(x, kp, upsampling_depth)
         else:
             x = uconv_block_reference(x, kp, upsampling_depth)
 

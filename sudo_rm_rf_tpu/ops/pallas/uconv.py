@@ -71,6 +71,77 @@ def uconv_block_reference(x, params, depth: int):
     return out + x
 
 
+def uconv_block_fma(x, params, depth: int):
+    """Pure-XLA block with the kernel's algebraic optimizations.
+
+    Same math as uconv_block_reference but: depthwise convs as 5 shifted
+    fused multiply-adds (XLA fuses these into single elementwise passes,
+    avoiding its generic depthwise-conv lowering), and each GlobLN folded
+    into the next conv's input as per-channel (a, b) constants, eliminating
+    one full read/write pass per ladder level. Differentiable (pure jnp).
+    """
+    b, co, t = x.shape
+    ci = params["proj_w"].shape[0]
+    y = jnp.einsum("co,bot->bct", params["proj_w"], x) + params["proj_b"][None, :, None]
+    y = ops.glob_ln(y, params["proj_g"], params["proj_beta"])
+    y = jnp.where(y >= 0, y, params["proj_slope"] * y)
+
+    def stats(o, n):
+        mean = jnp.sum(o, axis=(1, 2), keepdims=True) / n
+        var = jnp.sum((o - mean) ** 2, axis=(1, 2), keepdims=True) / n
+        return mean, lax.rsqrt(var + 1e-8)
+
+    def conv_s1(v, w):  # v (B, C, T); w (C, 5)
+        vp = jnp.pad(v, ((0, 0), (0, 0), (2, 2)))
+        return sum(
+            w[None, :, j : j + 1] * lax.slice_in_dim(vp, j, j + t_k, axis=2)
+            for j, t_k in ((jj, v.shape[-1]) for jj in range(5))
+        )
+
+    def conv_s2(v, w):
+        th = v.shape[-1] // 2
+        vr = v.reshape(b, ci, th, 2)
+        ve, vo = vr[..., 0], vr[..., 1]
+        ve_p = jnp.pad(ve, ((0, 0), (0, 0), (1, 1)))
+        vo_p = jnp.pad(vo, ((0, 0), (0, 0), (1, 0)))
+        wc = w[None, :, :, None]
+        return (
+            wc[:, :, 0] * ve_p[:, :, 0:th]
+            + wc[:, :, 1] * vo_p[:, :, 0:th]
+            + wc[:, :, 2] * ve_p[:, :, 1 : th + 1]
+            + wc[:, :, 3] * vo_p[:, :, 1:]
+            + wc[:, :, 4] * ve_p[:, :, 2 : th + 2]
+        )
+
+    a = jnp.ones((1, ci, 1), y.dtype)
+    bb = jnp.zeros((1, ci, 1), y.dtype)
+    cur, raw, folds = y, [], []
+    for k in range(depth):
+        w_k = params["dw_w"][k]
+        x_in = a * cur + bb
+        o = conv_s1(x_in, w_k) if k == 0 else conv_s2(x_in, w_k)
+        o = o + params["dw_b"][k][None, :, None]
+        mean, inv = stats(o, ci * o.shape[-1])
+        g = params["dw_g"][k][None, :, None]
+        be = params["dw_beta"][k][None, :, None]
+        a = g * inv
+        bb = be - g * inv * mean
+        raw.append(o)
+        folds.append((a, bb))
+        cur = o
+
+    a, bb = folds[-1]
+    acc = a * raw[-1] + bb
+    for k in range(depth - 2, -1, -1):
+        a, bb = folds[k]
+        acc = (a * raw[k] + bb) + ops.upsample_nearest_2x(acc)
+
+    acc = ops.glob_ln(acc, params["final_g"], params["final_beta"])
+    acc = jnp.where(acc >= 0, acc, params["final_slope"] * acc)
+    out = jnp.einsum("oc,bct->bot", params["res_w"], acc) + params["res_b"][None, :, None]
+    return out + x
+
+
 # ---------------------------------------------------------------------------
 # In-kernel helpers. LAYOUT: time-major (T, C) — time on sublanes, channels
 # on lanes. The axon Mosaic backend rejects minor-dim (lane) reshapes and

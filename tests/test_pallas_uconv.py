@@ -86,3 +86,33 @@ def test_improved_forward_fast_matches_model():
         )
     )
     np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fma_block_matches_reference():
+    params = _rand_params(5, 64, 32, seed=9)
+    from sudo_rm_rf_tpu.ops.pallas.uconv import uconv_block_fma
+
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 32, 640)).astype(np.float32)
+    )
+    want = np.asarray(uconv_block_reference(x, params, 5))
+    got = np.asarray(uconv_block_fma(x, params, 5))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_improved_forward_fast_fma_matches_model():
+    hp = dict(out_channels=32, in_channels=64, num_blocks=2, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=24, num_sources=2)
+    model = models.SuDORMRFImproved(**hp)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 1, 661)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(variables, x))
+    got = np.asarray(
+        improved_forward_fast(
+            variables["params"], x, num_blocks=2, upsampling_depth=3,
+            enc_kernel_size=21, num_sources=2, impl="fma",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
