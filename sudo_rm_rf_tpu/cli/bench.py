@@ -21,6 +21,9 @@ def main(argv=None):
     p.add_argument("--batch_sizes", nargs="+", type=int, default=[1, 4])
     p.add_argument("--timelength", type=float, default=4.0)
     p.add_argument("-fs", type=int, default=8000)
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of one forward here "
+                        "(view with tensorboard/xprof)")
     args = p.parse_args(argv)
 
     from sudo_rm_rf_tpu.utils.benchmark import benchmark_model, reference_model_zoo
@@ -40,7 +43,25 @@ def main(argv=None):
                 )
                 row["model"] = name
                 print(json.dumps(row, default=str))
+        if args.profile_dir:
+            _trace_one(model, args)
     return 0
+
+
+def _trace_one(model, args):
+    """jax.profiler trace of one jitted forward (the reference's offline
+    profiling hook, `extract_model_performance.py:209-243` analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = int(args.timelength * args.fs)
+    x = jax.random.normal(jax.random.key(1), (args.batch_sizes[-1], 1, t))
+    params = model.init(jax.random.key(0), x)["params"]
+    fwd = jax.jit(lambda p, v: model.apply({"params": p}, v))
+    fwd(params, x)  # compile outside the trace
+    with jax.profiler.trace(args.profile_dir):
+        fwd(params, x).block_until_ready()
+    print(json.dumps({"profile_trace": args.profile_dir}))
 
 
 if __name__ == "__main__":

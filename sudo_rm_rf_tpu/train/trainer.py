@@ -61,6 +61,11 @@ class TrainerConfig:
     clip_grad_norm: float = 5.0
     loss_clamp: float = 30.0  # 0 disables; reference uses 30 (50 for WHAMR)
     mixture_consistency: Optional[str] = None  # None | 'uniform' | 'magsq'
+    # 'adam' (SuDo runners) or 'radam_cosine' (baseline_runner.py:112-127:
+    # RAdam + linear warmup + cosine annealing)
+    optimizer: str = "adam"
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
 
 
 def _default_loss(est, targets):
@@ -99,18 +104,28 @@ class Trainer:
 
         self.prepare_batch = prepare_batch
 
-        schedule = stepped_lr_schedule(
-            config.learning_rate,
-            config.divide_lr_by,
-            config.patience_epochs,
-            config.steps_per_epoch,
-        )
         clip = (
             optax.clip_by_global_norm(config.clip_grad_norm)
             if config.clip_grad_norm > 0
             else optax.identity()
         )
-        self.tx = optax.chain(clip, optax.adam(schedule))
+        if config.optimizer == "radam_cosine":
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=config.learning_rate,
+                warmup_steps=config.warmup_steps,
+                decay_steps=config.total_steps,
+            )
+            opt = optax.radam(schedule)
+        else:
+            schedule = stepped_lr_schedule(
+                config.learning_rate,
+                config.divide_lr_by,
+                config.patience_epochs,
+                config.steps_per_epoch,
+            )
+            opt = optax.adam(schedule)
+        self.tx = optax.chain(clip, opt)
 
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))

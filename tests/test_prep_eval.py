@@ -145,3 +145,48 @@ def test_evaluate_cli(tmp_path):
     res = pickle.load(open(out_pickle, "rb"))
     assert len(res["si_sdr"]) == 4 and len(res["si_sdri"]) == 4
     assert all(np.isfinite(res["si_sdri"]))
+
+
+def test_preprocessed_dataset_loader(tmp_path):
+    from sudo_rm_rf_tpu.prep import convert_wsj0mix_to_universal
+    from sudo_rm_rf_tpu.data.preprocessed import PreprocessedDataset
+
+    rng = np.random.default_rng(3)
+    for d in ("mix", "s1", "s2"):
+        os.makedirs(tmp_path / "in" / "tr" / d)
+    for i in range(3):
+        name = f"01{i}a0101_1.0_20{i}a010b_-1.0.wav"
+        for d in ("mix", "s1", "s2"):
+            wavfile.write(str(tmp_path / "in" / "tr" / d / name), SR,
+                          (rng.standard_normal(SR * 5) * 3000).astype(np.int16))
+    out = convert_wsj0mix_to_universal(
+        str(tmp_path / "in"), str(tmp_path / "out"), 4.0, SR, 2, "min"
+    )
+    ds = PreprocessedDataset(root_dirpath=os.path.join(out, "tr"))
+    mix, s0, s1 = ds[0]
+    assert mix.shape == s0.shape == s1.shape == (SR * 4,)
+    batch = next(iter(ds.get_generator(batch_size=2, num_workers=1)))
+    assert batch[0].shape == (2, SR * 4)
+
+
+def test_radam_cosine_optimizer_trains():
+    import jax
+    import jax.numpy as jnp
+
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
+
+    model = models.SuDORMRFImproved(
+        out_channels=16, in_channels=32, num_blocks=1, upsampling_depth=2,
+        enc_kernel_size=9, enc_num_basis=16, num_sources=2,
+    )
+    trainer = Trainer(
+        model,
+        TrainerConfig(optimizer="radam_cosine", warmup_steps=2, total_steps=10),
+        prepare_batch=lambda key, b: (b.sum(1, keepdims=True), b),
+    )
+    src = np.random.default_rng(4).standard_normal((8, 2, 1024)).astype(np.float32)
+    state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+    for i in range(3):
+        state, metrics = trainer.train_step(state, jnp.array(src), jax.random.key(i))
+        assert np.isfinite(float(metrics["loss"]))
