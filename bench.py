@@ -36,6 +36,17 @@ def main():
     x = jax.random.normal(jax.random.key(1), (batch, 1, t), jnp.float32)
     params = model.init(jax.random.key(0), x)["params"]
 
+    # serving path: shifted-FMA ladder with folded GlobLN (impl='fma') —
+    # ~1.7x the plain conv lowering at identical fp32 numerics
+    # (models/fast_inference.py, parity-tested)
+    from sudo_rm_rf_tpu.models.fast_inference import improved_forward_fast
+
+    def forward(p, v):
+        return improved_forward_fast(
+            p, v, num_blocks=16, upsampling_depth=5, enc_kernel_size=21,
+            num_sources=2, impl="fma",
+        )
+
     # Timing methodology: the axon relay makes block_until_ready unreliable
     # (returns before execution) and bulk device_get extremely slow, so we
     # run n data-dependent forwards inside ONE jitted while-loop (runtime n,
@@ -43,7 +54,7 @@ def main():
     # values to cancel the fixed dispatch/readback overhead.
     def chain(p, x0, n):
         def body(i, carry):
-            y = model.apply({"params": p}, carry)
+            y = forward(p, carry)
             return jnp.sum(y, axis=1, keepdims=True) * 0.1 + x0 * 0.9
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
