@@ -54,8 +54,14 @@ class OverlapAddSeparator:
         batch_chunks: int = 8,
         mixture_consistency: Optional[str] = None,
         input_normalize: bool = True,
+        forward_fn: Optional[Callable] = None,
     ):
+        """forward_fn(params, (B,1,T)) -> (B,S,T) overrides model.apply —
+        e.g. models.fast_inference.improved_forward_fast with impl='fma'."""
         self.model = model
+        self._apply = forward_fn or (
+            lambda p, v: model.apply({"params": p}, v)
+        )
         self.params = params
         self.chunk = int(chunk_samples)
         self.hop = self.chunk // 2
@@ -77,7 +83,7 @@ class OverlapAddSeparator:
                 mean = jnp.zeros_like(x[..., :1])
                 std = jnp.ones_like(x[..., :1])
                 xn = x
-            est = self.model.apply({"params": params}, xn[:, None, :])
+            est = self._apply(params, xn[:, None, :])
             if self.mixture_consistency is not None:
                 from sudo_rm_rf_tpu.losses import mixture_consistency as mc
 
