@@ -116,3 +116,26 @@ def test_improved_forward_fast_fma_matches_model():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_groupcomm_forward_fast_matches_model():
+    from sudo_rm_rf_tpu.models.fast_inference import groupcomm_forward_fast
+
+    hp = dict(
+        in_audio_channels=1, out_channels=32, in_channels=64, num_blocks=2,
+        upsampling_depth=3, enc_kernel_size=21, enc_num_basis=24,
+        num_sources=2, group_size=4,
+    )
+    model = models.GroupCommSuDORMRF(**hp)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 1, 661)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(variables, x))
+    got = np.asarray(
+        groupcomm_forward_fast(
+            variables["params"], x, num_blocks=2, upsampling_depth=3,
+            enc_kernel_size=21, num_sources=2, group_size=4, impl="fma",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
