@@ -66,6 +66,9 @@ class TrainerConfig:
     optimizer: str = "adam"
     warmup_steps: int = 1000
     total_steps: int = 100_000
+    # mixed precision: forward/backward in this dtype, fp32 master params,
+    # optimizer updates and the PIT loss always in fp32. None = full fp32.
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
 
 
 def _default_loss(est, targets):
@@ -166,9 +169,18 @@ class Trainer:
 
     def _train_step_impl(self, state: TrainState, batch, key: jax.Array):
         mixture, targets = self.prepare_batch(key, batch)
+        cdtype = (
+            jnp.dtype(self.config.compute_dtype)
+            if self.config.compute_dtype
+            else None
+        )
 
         def loss_of(params):
-            est = self._forward(params, mixture)
+            mix = mixture
+            if cdtype is not None:
+                params = jax.tree.map(lambda a: a.astype(cdtype), params)
+                mix = mixture.astype(cdtype)
+            est = self._forward(params, mix).astype(jnp.float32)
             loss = self.loss_fn(est, targets)
             if self.config.loss_clamp > 0:
                 loss = jnp.clip(loss, -self.config.loss_clamp, self.config.loss_clamp)

@@ -155,3 +155,22 @@ def test_mixture_consistency_in_trainer():
     # eval path returns per-sample SISDRi
     out = trainer.eval_step(state.params, src.sum(1, keepdims=True)[:, 0:1], src)
     assert np.asarray(out["SISDRi"]).shape == (8,)
+
+
+def test_mixed_precision_training():
+    """bf16 compute with fp32 master params: loss decreases, params stay f32."""
+    model = models.SuDORMRFImproved(**TINY)
+    trainer = Trainer(
+        model,
+        TrainerConfig(learning_rate=1e-3, compute_dtype="bfloat16"),
+        prepare_batch=lambda key, b: (b.sum(1, keepdims=True), b),
+    )
+    src = _sources(b=8, t=1024, seed=6)
+    state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+    first = None
+    for i in range(6):
+        state, metrics = trainer.train_step(state, jnp.array(src), jax.random.key(i))
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
