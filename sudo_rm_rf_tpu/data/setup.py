@@ -88,6 +88,36 @@ def create_loader_for_simple_dataset(
     raise ValueError(f"Dataset: {dataset_name} is not yet supported!")
 
 
+def create_augmented_loader(
+    hparams: Dict,
+    split: str = "train",
+):
+    """Legacy AUGMENTED_* dispatch (`dataset_specific_params.py:18-170`):
+    hierarchical online-mixing datasets with per-dataset priors.
+
+    hparams keys: ``{split}_dataset_paths`` (list of hierarchical roots),
+    optional ``datasets_priors``, ``n_{split}``, ``max_abs_snr``, ``fs``,
+    ``audio_timelength``, ``n_sources``, ``fixed_seed`` (defaults: train
+    online-random, val/test fixed).
+    """
+    from sudo_rm_rf_tpu.data.hierarchical import AugmentedOnlineMixingDataset
+
+    paths = hparams[f"{split}_dataset_paths"]
+    fixed_default = 0 if split == "train" else 42
+    return AugmentedOnlineMixingDataset(
+        input_dataset_p=list(paths),
+        datasets_priors=list(
+            hparams.get("datasets_priors", [1.0 / len(paths)] * len(paths))
+        ),
+        n_sources=hparams.get("n_sources", 2),
+        n_samples=hparams.get(f"n_{split}", 1000),
+        max_abs_snr=hparams.get("max_abs_snr", 2.5),
+        sample_rate=int(hparams.get("fs", 8000)),
+        selected_timelength=float(hparams.get("audio_timelength", 4.0)),
+        fixed_seed=hparams.get("fixed_seed", fixed_default),
+    )
+
+
 def setup(hparams: Dict) -> Dict:
     """Build {train, val, test, train_val} generators from an hparams dict
     (`dataset_setup.py:79-106`)."""

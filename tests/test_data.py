@@ -249,3 +249,31 @@ def test_dataset_setup_dispatch(wham_root):
     assert gens["test"] is None
     mix, srcs = next(iter(gens["train"]))
     assert mix.shape == (2, SR * 2) and srcs.shape == (2, 2, SR * 2)
+
+
+def test_create_augmented_loader_dispatch(tmp_path):
+    import joblib as jl
+
+    from sudo_rm_rf_tpu.data.setup import create_augmented_loader
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "hier"
+    for c in range(3):
+        for s in range(2):
+            folder = root / f"class{c}" / f"s{s}"
+            os.makedirs(folder)
+            jl.dump(rng.standard_normal((1, SR * 2)).astype(np.float32),
+                    folder / "wav")
+    hp = dict(train_dataset_paths=[str(root)], n_train=6, fs=SR,
+              audio_timelength=1.0, n_sources=2)
+    ds = create_augmented_loader(hp, "train")
+    mix, srcs = ds[0]
+    assert mix.shape == (SR,) and srcs.shape == (2, SR)
+    # val gets a fixed seed by default -> reproducible across epochs
+    hp["val_dataset_paths"] = [str(root)]
+    hp["n_val"] = 4
+    val = create_augmented_loader(hp, "val")
+    a, _ = val[1]
+    val.set_epoch(3)
+    b, _ = val[1]
+    np.testing.assert_array_equal(a, b)
