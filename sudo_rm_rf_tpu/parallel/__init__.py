@@ -3,6 +3,13 @@ from sudo_rm_rf_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    tp_param_shardings,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "tp_param_shardings",
+]

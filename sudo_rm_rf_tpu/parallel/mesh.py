@@ -52,3 +52,28 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, ndim=np.ndim(x))), batch
     )
+
+
+def tp_param_shardings(params, mesh: Mesh, min_size: int = 256):
+    """Tensor-parallel sharding rules for a param pytree.
+
+    Shards the leading (output-channel) dim of every large >=2-D param that
+    divides the ``model`` axis — for SuDoRM-RF that covers the encoder
+    bases, bottleneck, mask head, and decoder (the widest matmuls). XLA
+    GSPMD inserts the channel all-gathers/reduces automatically; math is
+    unchanged (tested against replicated). Small params stay replicated.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        shape = np.shape(x)
+        if (
+            len(shape) >= 2
+            and n_model > 1
+            and shape[0] % n_model == 0
+            and int(np.prod(shape)) >= min_size
+        ):
+            return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (len(shape) - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)

@@ -69,6 +69,9 @@ class TrainerConfig:
     # mixed precision: forward/backward in this dtype, fp32 master params,
     # optimizer updates and the PIT loss always in fp32. None = full fp32.
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
+    # tensor parallelism: shard large params' output-channel dims over the
+    # mesh 'model' axis (parallel.tp_param_shardings). No-op on model=1.
+    shard_params: bool = False
 
 
 def _default_loss(est, targets):
@@ -144,8 +147,17 @@ class Trainer:
 
     def init_state(self, key: jax.Array, sample_mixture: jax.Array) -> TrainState:
         params = self.model.init(key, sample_mixture)["params"]
-        params = jax.device_put(params, self._repl)
-        opt_state = self.tx.init(params)
+        if self.config.shard_params and self.mesh.shape[
+            "model"
+        ] > 1:
+            from sudo_rm_rf_tpu.parallel.mesh import tp_param_shardings
+
+            shardings = tp_param_shardings(params, self.mesh)
+            params = jax.tree.map(jax.device_put, params, shardings)
+        else:
+            params = jax.device_put(params, self._repl)
+        # jit so optimizer moments inherit the params' shardings
+        opt_state = jax.jit(self.tx.init)(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state
         )

@@ -174,3 +174,31 @@ def test_mixed_precision_training():
             first = float(metrics["loss"])
     assert float(metrics["loss"]) < first
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+
+
+def test_tensor_parallel_matches_replicated():
+    """(data=4, model=2) TP-sharded step == plain replicated step."""
+    model = models.SuDORMRFImproved(**TINY)
+    src = _sources(b=8, t=1024, seed=7)
+    prepare = lambda key, b: (b.sum(1, keepdims=True), b)
+
+    results = {}
+    for name, (mesh, shard) in {
+        "tp": (make_mesh(n_model=2), True),
+        "repl": (make_mesh(devices=jax.devices()[:1]), False),
+    }.items():
+        trainer = Trainer(
+            model, TrainerConfig(shard_params=shard),
+            prepare_batch=prepare, mesh=mesh,
+        )
+        state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+        for i in range(2):
+            state, metrics = trainer.train_step(state, jnp.array(src), jax.random.key(i))
+        results[name] = (
+            float(metrics["loss"]),
+            jax.tree.map(np.asarray, jax.device_get(state.params)),
+        )
+
+    assert results["tp"][0] == pytest.approx(results["repl"][0], abs=1e-4)
+    for a, b in zip(jax.tree.leaves(results["tp"][1]), jax.tree.leaves(results["repl"][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
