@@ -6,7 +6,11 @@ from sudo_rm_rf_tpu.losses.sisdr import (
     pit_neg_sdr_loss,
     reorder_sources,
 )
-from sudo_rm_rf_tpu.losses.snr import PermInvariantSNRwithZeroRefs
+from sudo_rm_rf_tpu.losses.snr import (
+    PermInvariantSNRwithZeroRefs,
+    SimplerPermInvariantSNRwithZeroRefs,
+)
+from sudo_rm_rf_tpu.losses.functional import pit_loss, sdr, sdri_loss, sisdr_loss
 from sudo_rm_rf_tpu.losses.norm import perm_invariant_norm
 from sudo_rm_rf_tpu.losses.mixture_consistency import mixture_consistency
 
@@ -18,6 +22,11 @@ __all__ = [
     "pit_neg_sdr_loss",
     "reorder_sources",
     "PermInvariantSNRwithZeroRefs",
+    "SimplerPermInvariantSNRwithZeroRefs",
+    "pit_loss",
+    "sdr",
+    "sdri_loss",
+    "sisdr_loss",
     "perm_invariant_norm",
     "mixture_consistency",
 ]

@@ -84,3 +84,10 @@ class PermInvariantSNRwithZeroRefs:
         if return_best_permutation:
             return best_snr, jnp.asarray(perms)[best_perm_ind]
         return best_snr
+
+
+# The reference ships a near-duplicate "Simpler" class
+# (`snr.py:145-262`) whose only behavioral delta is a latent crash when
+# backward_loss=True (compute_snr returns one value, forward unpacks two).
+# Same math here; kept as an alias for API compatibility.
+SimplerPermInvariantSNRwithZeroRefs = PermInvariantSNRwithZeroRefs

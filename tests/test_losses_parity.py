@@ -198,3 +198,20 @@ def test_reordered_estimates_align_with_targets():
     pw = losses.pairwise_neg_sdr(reordered, jnp.array(tgt))
     direct = jnp.mean(jnp.diagonal(pw, axis1=1, axis2=2))
     assert abs(float(direct) - float(loss)) < 1e-4
+
+
+def test_functional_losses_match_reference():
+    from sudo_rm_rf.dnn.losses import sisdr as ref
+
+    est, tgt = _batch(b=3, s=3, seed=12)
+    te, tt = torch.from_numpy(est), torch.from_numpy(tgt)
+    je, jt = jnp.array(est), jnp.array(tgt)
+
+    want = ref._sdr(tt, te, SI=True).numpy()
+    got = np.asarray(losses.sdr(jt, je, si=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    assert abs(float(losses.sdri_loss(jt, je)) - ref.sdri_loss(tt, te).item()) < 1e-3
+    assert abs(float(losses.sisdr_loss(jt, je)) - ref.sisdr_loss(tt, te).item()) < 1e-3
+    assert abs(float(losses.pit_loss(je, jt, si=True)) -
+               ref.pit_loss(te, tt, SI=True).item()) < 1e-3
