@@ -202,3 +202,30 @@ def test_tensor_parallel_matches_replicated():
     assert results["tp"][0] == pytest.approx(results["repl"][0], abs=1e-4)
     for a, b in zip(jax.tree.leaves(results["tp"][1]), jax.tree.leaves(results["repl"][1])):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_training_is_deterministic_given_seeds():
+    """Explicit-key RNG threading: identical seeds -> bitwise-identical
+    training (the framework's answer to the reference's time-seeded
+    DataLoader workers, SURVEY.md section 5 race detection)."""
+    model = models.SuDORMRFImproved(**TINY)
+    src = _sources(b=8, t=1024, seed=8)
+
+    def run():
+        trainer = Trainer(
+            model, TrainerConfig(),
+            prepare_batch=lambda key, b: (b.sum(1, keepdims=True), b),
+            mesh=make_mesh(devices=jax.devices()[:1]),
+        )
+        state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+        losses_seen = []
+        for i in range(3):
+            state, m = trainer.train_step(state, jnp.array(src), jax.random.key(i))
+            losses_seen.append(float(m["loss"]))
+        return losses_seen, jax.tree.map(np.asarray, jax.device_get(state.params))
+
+    l1, p1 = run()
+    l2, p2 = run()
+    assert l1 == l2
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
