@@ -86,8 +86,132 @@ class UConvBlock(nn.Module):
         return out + residual
 
 
+class _ConvParams(nn.Module):
+    """Param shell: registers Conv1d-compatible params and returns them."""
+
+    out_channels: int
+    in_channels: int
+    kernel_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        from sudo_rm_rf_tpu.models.layers import (
+            _kaiming_uniform_conv,
+            _torch_conv_bias_init,
+        )
+
+        w = self.param(
+            "weight",
+            _kaiming_uniform_conv,
+            (self.out_channels, self.in_channels, self.kernel_size),
+        )
+        b = None
+        if self.use_bias:
+            fan_in = self.in_channels * self.kernel_size
+            b = self.param(
+                "bias", _torch_conv_bias_init(fan_in), (self.out_channels,)
+            )
+        return w, b
+
+
+class _GlobLNParams(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("gamma", nn.initializers.ones, (self.channels,)),
+            self.param("beta", nn.initializers.zeros, (self.channels,)),
+        )
+
+
+class _PReLUParams(nn.Module):
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "weight", lambda k, s: jnp.full(s, 0.25, jnp.float32), (1,)
+        )
+
+
+class _NormActParams(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        g, b = _GlobLNParams(self.channels, name="norm")()
+        return g, b, _PReLUParams(name="act")()
+
+
+class _ConvNormActParams(nn.Module):
+    in_channels: int
+    out_channels: int
+    depthwise: bool = False
+    with_act: bool = True
+
+    @nn.compact
+    def __call__(self):
+        w, b = _ConvParams(
+            self.out_channels,
+            1 if self.depthwise else self.in_channels,
+            5 if self.depthwise else 1,
+            name="conv",
+        )()
+        g, be = _GlobLNParams(self.out_channels, name="norm")()
+        slope = _PReLUParams(name="act")() if self.with_act else None
+        return w, b, g, be, slope
+
+
+class UConvBlockFMA(nn.Module):
+    """UConvBlock computed via the shifted-FMA + folded-GlobLN formulation
+    (ops.pallas.uconv.uconv_block_fma; ~1.7x the conv lowering on TPU,
+    differentiable). Param tree is IDENTICAL to UConvBlock — the submodules
+    here are param shells with the same names."""
+
+    out_channels: int = 128
+    in_channels: int = 512
+    upsampling_depth: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        from sudo_rm_rf_tpu.ops.pallas.uconv import uconv_block_fma
+
+        pw, pb, pg, pbe, pslope = _ConvNormActParams(
+            self.out_channels, self.in_channels, name="proj_1x1"
+        )()
+        dw_w, dw_b, dw_g, dw_be = [], [], [], []
+        for k in range(self.upsampling_depth):
+            w, b, g, be, _ = _ConvNormActParams(
+                self.in_channels, self.in_channels, depthwise=True,
+                with_act=False, name=f"spp_dw_{k}",
+            )()
+            dw_w.append(w[:, 0, :])
+            dw_b.append(b)
+            dw_g.append(g)
+            dw_be.append(be)
+        fg, fbe, fslope = _NormActParams(self.in_channels, name="final_norm")()
+        rw, rb = _ConvParams(
+            self.out_channels, self.in_channels, 1, name="res_conv"
+        )()
+
+        kp = {
+            "proj_w": pw[:, :, 0], "proj_b": pb, "proj_g": pg,
+            "proj_beta": pbe, "proj_slope": pslope[0],
+            "dw_w": jnp.stack(dw_w), "dw_b": jnp.stack(dw_b),
+            "dw_g": jnp.stack(dw_g), "dw_beta": jnp.stack(dw_be),
+            "final_g": fg, "final_beta": fbe, "final_slope": fslope[0],
+            "res_w": rw[:, :, 0], "res_b": rb,
+        }
+        return uconv_block_fma(x, kp, self.upsampling_depth)
+
+
 class SuDORMRFImproved(nn.Module):
-    """Improved SuDoRM-RF separator. Input (B, 1, T) mixture, output (B, S, T)."""
+    """Improved SuDoRM-RF separator. Input (B, 1, T) mixture, output (B, S, T).
+
+    block_impl: 'xla' (plain convs) or 'fma' (shifted-FMA + folded-norm
+    blocks — same params and numerics, ~1.7x faster on TPU, used for
+    training too since it is differentiable).
+    """
 
     out_channels: int = 128
     in_channels: int = 512
@@ -96,6 +220,7 @@ class SuDORMRFImproved(nn.Module):
     enc_kernel_size: int = 21
     enc_num_basis: int = 512
     num_sources: int = 2
+    block_impl: str = "xla"
 
     @property
     def n_least_samples_req(self) -> int:
@@ -123,8 +248,9 @@ class SuDORMRFImproved(nn.Module):
         x = GlobLN(self.enc_num_basis, name="ln")(x)
         x = Conv1d(self.enc_num_basis, self.out_channels, 1, name="bottleneck")(x)
 
+        block_cls = UConvBlockFMA if self.block_impl == "fma" else UConvBlock
         for i in range(self.num_blocks):
-            x = UConvBlock(
+            x = block_cls(
                 out_channels=self.out_channels,
                 in_channels=self.in_channels,
                 upsampling_depth=self.upsampling_depth,

@@ -139,3 +139,30 @@ def test_groupcomm_forward_fast_matches_model():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_model_block_impl_fma_matches_xla():
+    """block_impl='fma' shares the exact param tree and numerics of 'xla'."""
+    hp = dict(out_channels=32, in_channels=64, num_blocks=2, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=24, num_sources=2)
+    m_xla = models.SuDORMRFImproved(**hp)
+    m_fma = models.SuDORMRFImproved(**hp, block_impl="fma")
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 1, 661)).astype(np.float32)
+    )
+    v_xla = m_xla.init(jax.random.key(0), x)
+    v_fma = m_fma.init(jax.random.key(0), x)
+    # identical param trees (paths and shapes)
+    assert jax.tree_util.tree_structure(v_xla) == jax.tree_util.tree_structure(v_fma)
+    want = np.asarray(m_xla.apply(v_xla, x))
+    got = np.asarray(m_fma.apply(v_xla, x))  # same params through fma math
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # differentiable: grads flow and match closely
+    def loss(variables, model):
+        return jnp.sum(jnp.square(model.apply(variables, x)))
+
+    g_xla = jax.grad(lambda v: loss(v, m_xla))(v_xla)
+    g_fma = jax.grad(lambda v: loss(v, m_fma))(v_xla)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_fma)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
