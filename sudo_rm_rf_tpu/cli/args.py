@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lr", "--learning_rate", type=float, default=1e-3)
     p.add_argument("--divide_lr_by", type=float, default=3.0)
     p.add_argument("--patience", type=int, default=0)
-    p.add_argument("--optimizer", type=str, default="adam", choices=["adam"])
+    p.add_argument("--optimizer", type=str, default="adam",
+                   choices=["adam", "radam_cosine"])
     p.add_argument("--clip_grad_norm", type=float, default=5.0)
     p.add_argument("--loss_clamp", type=float, default=30.0)
     p.add_argument("--mixture_consistency", type=str, default=None,
@@ -69,6 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--att_dims", type=int, default=256)
     p.add_argument("--att_n_heads", type=int, default=4)
     p.add_argument("--att_dropout", type=float, default=0.1)
+    p.add_argument("--block_impl", type=str, default="fma", choices=["xla", "fma"])
     p.add_argument(
         "--model_type", type=str, default="relu",
         choices=["relu", "softmax", "groupcomm_v2", "causal", "attention",
@@ -104,6 +106,7 @@ def args_to_config(args) -> ExperimentConfig:
         n_heads=args.att_n_heads,
         att_dims=args.att_dims,
         att_dropout=args.att_dropout,
+        block_impl=args.block_impl,
     )
     data = DataConfig(
         train=tuple(args.train or ()),
@@ -134,6 +137,7 @@ def args_to_config(args) -> ExperimentConfig:
         clip_grad_norm=args.clip_grad_norm,
         loss_clamp=args.loss_clamp,
         mixture_consistency=args.mixture_consistency,
+        optimizer=args.optimizer,
         save_checkpoint_every=args.save_checkpoint_every,
         checkpoints_path=args.checkpoints_path,
         seed=args.seed,

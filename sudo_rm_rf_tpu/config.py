@@ -80,6 +80,10 @@ class ModelConfig:
     n_heads: int = 4
     att_dims: int = 256
     att_dropout: float = 0.1
+    # improved-model block implementation: 'xla' or 'fma' (same params;
+    # the FMA formulation is ~1.7x faster on TPU, fwd and bwd)
+    block_impl: str = "fma"
+
 
     def build(self):
         from sudo_rm_rf_tpu import models
@@ -93,6 +97,8 @@ class ModelConfig:
             enc_num_basis=self.enc_num_basis,
             num_sources=self.num_sources,
         )
+        if self.model_type in ("relu", "improved"):
+            kwargs.update(block_impl=self.block_impl)
         if self.model_type == "groupcomm_v2":
             kwargs.update(group_size=self.group_size,
                           in_audio_channels=self.in_audio_channels)
@@ -136,6 +142,7 @@ class TrainConfig:
     clip_grad_norm: float = 5.0
     loss_clamp: float = 30.0
     mixture_consistency: Optional[str] = None
+    optimizer: str = "adam"  # 'adam' | 'radam_cosine'
     save_checkpoint_every: int = 10
     checkpoints_path: str = field(default_factory=lambda: paths.checkpoints)
     seed: int = 0

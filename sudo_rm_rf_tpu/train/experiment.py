@@ -115,6 +115,8 @@ def run_experiment(
             clip_grad_norm=config.train.clip_grad_norm,
             loss_clamp=config.train.loss_clamp,
             mixture_consistency=config.train.mixture_consistency,
+            optimizer=config.train.optimizer,
+            total_steps=max(config.train.n_epochs * steps_per_epoch, 1),
         ),
         loss_fn=loss_fn,
         prepare_batch=prepare,
