@@ -173,7 +173,10 @@ def groupcomm_forward_fast(
         y = _tac_fast(bp["TAC"], x.reshape(b, g, out_channels // g, t))
         y = y.reshape(b * g, out_channels // g, t)
         kp = params_from_flax(bp["UBlock"])
-        if impl == "fma":
+        if impl == "pallas":
+            # the folded (B*G) batch keeps per-program VMEM tiny (C/G chans)
+            y = fused_uconv_block(y, kp, depth=upsampling_depth)
+        elif impl == "fma":
             y = uconv_block_fma(y, kp, upsampling_depth)
         else:
             y = uconv_block_reference(y, kp, upsampling_depth)

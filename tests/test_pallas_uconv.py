@@ -166,3 +166,43 @@ def test_model_block_impl_fma_matches_xla():
     g_fma = jax.grad(lambda v: loss(v, m_fma))(v_xla)
     for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_fma)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_groupcomm_forward_fast_pallas_interpret():
+    """The GC pallas wiring (folded-group fused blocks), in interpret mode."""
+    from sudo_rm_rf_tpu.ops.pallas import uconv as U
+
+    hp = dict(
+        in_audio_channels=1, out_channels=32, in_channels=64, num_blocks=1,
+        upsampling_depth=3, enc_kernel_size=21, enc_num_basis=24,
+        num_sources=2, group_size=4,
+    )
+    model = models.GroupCommSuDORMRF(**hp)
+    x = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 1, 661)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(variables, x))
+
+    # route the kernel through interpret mode for the CPU test
+    orig = U.fused_uconv_block
+    import functools
+
+    def interp(x_, p_, depth=5, **kw):
+        kw.pop("interpret", None)
+        return orig(x_, p_, depth=depth, interpret=True)
+
+    from sudo_rm_rf_tpu.models import fast_inference as fi
+
+    old = fi.fused_uconv_block
+    fi.fused_uconv_block = interp
+    try:
+        got = np.asarray(
+            fi.groupcomm_forward_fast.__wrapped__(
+                variables["params"], x, num_blocks=1, upsampling_depth=3,
+                enc_kernel_size=21, num_sources=2, group_size=4, impl="pallas",
+            )
+        )
+    finally:
+        fi.fused_uconv_block = old
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
