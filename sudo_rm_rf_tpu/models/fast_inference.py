@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from sudo_rm_rf_tpu import ops
 from sudo_rm_rf_tpu.ops.pallas.uconv import (
@@ -98,6 +99,106 @@ def improved_forward_fast(
     return ops.unpad_to_length(est, in_len)
 
 
+def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
+    """GC U-ConvBlock with groups MERGED into the channel dim.
+
+    The group-folded (B*G, C/G, T) layout leaves 3/4 of the VPU lanes idle
+    (C/G = 32 of 128); here every elementwise/depthwise op runs on the full
+    (B, C, T) merged layout while GlobLN statistics stay per-(batch, group)
+    via reshaped reductions, and the shared 1x1 projections are einsums over
+    the group axis. Numerics identical to the folded form (tested).
+
+    x: (B, C_out, T) with C_out = g * out_pg; kp: the shared per-group
+    kernel params (params_from_flax of the UBlock subtree).
+    """
+    b, c_out, t = x.shape
+    out_pg = c_out // g
+    in_pg = kp["proj_w"].shape[0]
+    c_in = g * in_pg
+
+    def stats_ab(o, gamma, beta, n):
+        """per-(b, group) GlobLN folded to merged (B, C, 1) scale/shift."""
+        og = o.reshape(b, g, in_pg, -1)
+        mean = jnp.mean(og, axis=(2, 3), keepdims=True)
+        var = jnp.mean((og - mean) ** 2, axis=(2, 3), keepdims=True)
+        inv = lax.rsqrt(var + 1e-8)  # (B, g, 1, 1)
+        gm = gamma[None, None, :, None]
+        bt = beta[None, None, :, None]
+        a = (gm * inv).reshape(b, g, in_pg, 1).reshape(b, c_in, 1)
+        bb = (bt - gm * inv * mean).reshape(b, c_in, 1)
+        return a, bb
+
+    # proj 1x1 (shared across groups) + per-group GlobLN + PReLU
+    xg = x.reshape(b, g, out_pg, t)
+    y = jnp.einsum("bgct,ic->bgit", xg, kp["proj_w"]) + kp["proj_b"][None, None, :, None]
+    mean = jnp.mean(y, axis=(2, 3), keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=(2, 3), keepdims=True)
+    y = (
+        kp["proj_g"][None, None, :, None] * (y - mean) * lax.rsqrt(var + 1e-8)
+        + kp["proj_beta"][None, None, :, None]
+    )
+    y = jnp.where(y >= 0, y, kp["proj_slope"] * y).reshape(b, c_in, t)
+
+    # depthwise ladder on merged channels: weights tiled across groups
+    dw_w = jnp.tile(kp["dw_w"], (1, g, 1))  # (depth, C_in, 5)
+    dw_b = jnp.tile(kp["dw_b"], (1, g))
+
+    def conv_s1(v, w):
+        vp = jnp.pad(v, ((0, 0), (0, 0), (2, 2)))
+        tt = v.shape[-1]
+        return sum(
+            w[None, :, j : j + 1] * lax.slice_in_dim(vp, j, j + tt, axis=2)
+            for j in range(5)
+        )
+
+    def conv_s2(v, w):
+        th = v.shape[-1] // 2
+        vr = v.reshape(b, c_in, th, 2)
+        ve, vo = vr[..., 0], vr[..., 1]
+        ve_p = jnp.pad(ve, ((0, 0), (0, 0), (1, 1)))
+        vo_p = jnp.pad(vo, ((0, 0), (0, 0), (1, 0)))
+        wc = w[None, :, :, None]
+        return (
+            wc[:, :, 0] * ve_p[:, :, 0:th]
+            + wc[:, :, 1] * vo_p[:, :, 0:th]
+            + wc[:, :, 2] * ve_p[:, :, 1 : th + 1]
+            + wc[:, :, 3] * vo_p[:, :, 1:]
+            + wc[:, :, 4] * ve_p[:, :, 2 : th + 2]
+        )
+
+    a = jnp.ones((b, c_in, 1), y.dtype)
+    bb = jnp.zeros((b, c_in, 1), y.dtype)
+    cur, raw, folds = y, [], []
+    for k in range(depth):
+        x_in = a * cur + bb
+        o = conv_s1(x_in, dw_w[k]) if k == 0 else conv_s2(x_in, dw_w[k])
+        o = o + dw_b[k][None, :, None]
+        a, bb = stats_ab(o, kp["dw_g"][k], kp["dw_beta"][k], o.shape[-1])
+        raw.append(o)
+        folds.append((a, bb))
+        cur = o
+
+    a, bb = folds[-1]
+    acc = a * raw[-1] + bb
+    for k in range(depth - 2, -1, -1):
+        a, bb = folds[k]
+        acc = (a * raw[k] + bb) + ops.upsample_nearest_2x(acc)
+
+    # final per-group GlobLN + PReLU + shared res 1x1 + residual
+    accg = acc.reshape(b, g, in_pg, t)
+    mean = jnp.mean(accg, axis=(2, 3), keepdims=True)
+    var = jnp.mean((accg - mean) ** 2, axis=(2, 3), keepdims=True)
+    accg = (
+        kp["final_g"][None, None, :, None] * (accg - mean) * lax.rsqrt(var + 1e-8)
+        + kp["final_beta"][None, None, :, None]
+    )
+    accg = jnp.where(accg >= 0, accg, kp["final_slope"] * accg)
+    out = jnp.einsum("bgit,ci->bgct", accg, kp["res_w"]) + kp["res_b"][
+        None, None, :, None
+    ]
+    return out.reshape(b, c_out, t) + x
+
+
 def _tac_fast(p, x):
     """TAC over (B, G, N, T) with the flax TAC's param subtree
     (groupcomm_sudormrf.py TAC), as explicit einsums."""
@@ -173,6 +274,11 @@ def groupcomm_forward_fast(
         y = _tac_fast(bp["TAC"], x.reshape(b, g, out_channels // g, t))
         y = y.reshape(b * g, out_channels // g, t)
         kp = params_from_flax(bp["UBlock"])
+        if impl == "fma_merged":
+            x = gc_uconv_block_fma_merged(
+                y.reshape(b, out_channels, t), kp, upsampling_depth, g
+            )
+            continue
         if impl == "pallas":
             # the folded (B*G) batch keeps per-program VMEM tiny (C/G chans)
             y = fused_uconv_block(y, kp, depth=upsampling_depth)
