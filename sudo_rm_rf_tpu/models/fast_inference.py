@@ -42,11 +42,17 @@ def improved_forward_fast(
     upsampling_depth: int = 5,
     enc_kernel_size: int = 21,
     num_sources: int = 2,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
     interpret: bool = False,
     impl: str = None,
 ) -> jax.Array:
-    """params: the flax 'params' tree of SuDORMRFImproved. x: (B, 1|-, T)."""
+    """params: the flax 'params' tree of SuDORMRFImproved. x: (B, 1|-, T).
+
+    impl: 'fma' (default — fastest general path), 'pallas' (fused kernel;
+    subject to the backend's VMEM/compile envelope, see docs/ARCHITECTURE),
+    or 'xla' (plain convs). use_pallas=True is legacy shorthand for
+    impl='pallas'.
+    """
     if input_wav.ndim == 2:
         input_wav = input_wav[:, None, :]
     in_len = input_wav.shape[-1]
@@ -67,7 +73,7 @@ def improved_forward_fast(
     )
 
     if impl is None:
-        impl = "pallas" if use_pallas else "xla"
+        impl = "pallas" if use_pallas else "fma"
     for i in range(num_blocks):
         kp = params_from_flax(params[f"sm_{i}"])
         if impl == "pallas":

@@ -92,10 +92,11 @@ def uconv_block_fma(x, params, depth: int):
         return mean, lax.rsqrt(var + 1e-8)
 
     def conv_s1(v, w):  # v (B, C, T); w (C, 5)
+        tt = v.shape[-1]
         vp = jnp.pad(v, ((0, 0), (0, 0), (2, 2)))
         return sum(
-            w[None, :, j : j + 1] * lax.slice_in_dim(vp, j, j + t_k, axis=2)
-            for j, t_k in ((jj, v.shape[-1]) for jj in range(5))
+            w[None, :, j : j + 1] * lax.slice_in_dim(vp, j, j + tt, axis=2)
+            for j in range(5)
         )
 
     def conv_s2(v, w):
