@@ -153,3 +153,84 @@ def test_param_count_matches_reference_u16_512():
     params = jax.eval_shape(model.init, jax.random.key(0), jnp.zeros((1, 1, 32000)))
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params["params"]))
     assert abs(n / 1e6 - 5.02) < 0.02, n
+
+
+def test_run_experiment_whamr_recipe(tmp_path):
+    """WHAMR branch: pair-consistent remix of reverberant sources vs
+    anechoic targets, end to end."""
+    from scipy.io import wavfile as wf
+
+    from sudo_rm_rf_tpu.train.experiment import run_experiment
+    from sudo_rm_rf_tpu.utils import ExperimentLogger
+
+    rng = np.random.default_rng(3)
+    for split in ("tr", "cv"):
+        base = tmp_path / "wav8k" / "min" / split
+        for i in range(4):
+            for d in ("mix_both_reverb", "s1_reverb", "s2_reverb", "noise",
+                      "s1_anechoic", "s2_anechoic"):
+                os.makedirs(base / d, exist_ok=True)
+                wf.write(str(base / d / f"u{i}.wav"), SR,
+                         (rng.standard_normal(SR * 2) * 8000).astype(np.int16))
+    os.environ["SUDO_TPU_WHAMR_ROOT"] = str(tmp_path)
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(model_type="relu", out_channels=16, in_channels=32,
+                          num_blocks=1, upsampling_depth=2, enc_kernel_size=21,
+                          enc_num_basis=16, num_sources=2),
+        data=DataConfig(train=("WHAMR",), val=(), separation_task="noisy_reverberant",
+                        fs=SR, audio_timelength=1.0, batch_size=4, n_jobs=1),
+        train=TrainConfig(n_epochs=1, save_checkpoint_every=0,
+                          checkpoints_path=str(tmp_path / "ckpt"),
+                          loss_clamp=50.0),
+        experiment_name="whamr_exp",
+    )
+    logger = ExperimentLogger(str(tmp_path / "logs"), "whamr_exp")
+    state, history = run_experiment(cfg, logger=logger)
+    assert np.isfinite(history[-1]["tr_loss"])
+
+
+def test_run_experiment_fuss_recipe(tmp_path):
+    """FUSS branch: variable-source-count corpus, zero-ref SNR loss."""
+    from scipy.io import wavfile as wf
+
+    from sudo_rm_rf_tpu.train.experiment import run_experiment
+    from sudo_rm_rf_tpu.utils import ExperimentLogger
+
+    rng = np.random.default_rng(4)
+    lines = []
+    for i in range(8):
+        n_src = 1 + i % 3
+        names = []
+        os.makedirs(tmp_path / f"ex{i}", exist_ok=True)
+        mix_name = f"ex{i}/mixture.wav"
+        wf.write(str(tmp_path / mix_name), 16000,
+                 (rng.standard_normal(16000 * 2) * 8000).astype(np.int16))
+        for s in range(n_src):
+            name = f"ex{i}/src{s}.wav"
+            wf.write(str(tmp_path / name), 16000,
+                     (rng.standard_normal(16000 * 2) * 8000).astype(np.int16))
+            names.append(name)
+        lines.append("\t".join([mix_name] + names))
+    (tmp_path / "train_example_list.txt").write_text("\n".join(lines))
+    (tmp_path / "validation_example_list.txt").write_text("\n".join(lines[:4]))
+    os.makedirs(tmp_path / "train", exist_ok=True)
+    os.makedirs(tmp_path / "validation", exist_ok=True)
+    os.environ["SUDO_TPU_FUSS_ROOT"] = str(tmp_path)
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(model_type="relu", out_channels=16, in_channels=32,
+                          num_blocks=1, upsampling_depth=2, enc_kernel_size=21,
+                          enc_num_basis=16, num_sources=3),
+        data=DataConfig(train=("FUSS",), val=("FUSS",), fs=16000,
+                        audio_timelength=1.0, batch_size=4, n_jobs=1,
+                        min_num_sources=1, max_num_sources=3),
+        train=TrainConfig(n_epochs=1, save_checkpoint_every=0,
+                          checkpoints_path=str(tmp_path / "ckpt"),
+                          mixture_consistency="uniform"),
+        experiment_name="fuss_exp",
+    )
+    logger = ExperimentLogger(str(tmp_path / "logs"), "fuss_exp")
+    state, history = run_experiment(cfg, logger=logger)
+    assert np.isfinite(history[-1]["tr_loss"])
+    assert "val_SISDRi" in history[-1]
