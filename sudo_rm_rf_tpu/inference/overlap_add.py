@@ -20,7 +20,6 @@ XLA. Here:
 from __future__ import annotations
 
 import itertools
-from functools import partial
 from typing import Callable, Optional
 
 import jax

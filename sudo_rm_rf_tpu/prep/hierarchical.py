@@ -23,7 +23,7 @@ import glob
 import math
 import os
 import shutil
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import joblib
 import numpy as np
