@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--min_or_max", default="min")
     p.add_argument("--mixture_consistency", default=None,
                    choices=[None, "uniform", "magsq"])
+    p.add_argument("--full_length", action="store_true",
+                   help="evaluate whole utterances through the overlap-add "
+                        "runtime (one compiled chunk shape) instead of "
+                        "fixed-length crops — the reference's timelength=-1 "
+                        "mode without per-length recompiles")
     p.add_argument("--out_pickle", default=None)
     p.add_argument("--reference_root", default=None)
     p.add_argument("--root_dirpath", default=None)
@@ -86,11 +91,13 @@ def main(argv=None):
     dataset = create_loader_for_simple_dataset(
         dataset_name=args.dataset, separation_task=args.separation_task,
         data_split=args.split, sample_rate=args.fs, min_or_max=args.min_or_max,
-        zero_pad=True, timelength=args.timelength, n_samples=args.n_samples,
-        root_dirpath=args.root_dirpath,
+        zero_pad=True,
+        timelength=-1.0 if args.full_length else args.timelength,
+        n_samples=args.n_samples, root_dirpath=args.root_dirpath,
     )
     loader = dataset.get_generator(
-        batch_size=args.batch_size, shuffle=False, num_workers=2
+        batch_size=1 if args.full_length else args.batch_size,
+        shuffle=False, num_workers=2,
     )
 
     sisdr = losses.PermInvariantSISDR(
@@ -113,6 +120,16 @@ def main(argv=None):
         # mean/std are (B, 1, 1): broadcast over (B, S, T)
         return est * std + mean
 
+    ola = None
+    if args.full_length:
+        from sudo_rm_rf_tpu.inference import OverlapAddSeparator
+
+        ola = OverlapAddSeparator(
+            model, params, chunk_samples=int(args.timelength * args.fs),
+            num_sources=args.num_sources,
+            mixture_consistency=args.mixture_consistency,
+        )
+
     results = {"si_sdr": [], "si_sdri": []}
     for batch in loader:
         if isinstance(batch, (tuple, list)):
@@ -123,7 +140,10 @@ def main(argv=None):
             targets = batch
             mixture = np.asarray(batch).sum(1, keepdims=True)
         targets = np.asarray(targets)[:, : args.num_sources]
-        est = forward(params, jnp.asarray(mixture))
+        if ola is not None:
+            est = jnp.asarray(ola.separate(np.asarray(mixture)[0, 0])[None])
+        else:
+            est = forward(params, jnp.asarray(mixture))
         results["si_sdr"] += np.asarray(sisdr(est, jnp.asarray(targets))).tolist()
         results["si_sdri"] += np.asarray(
             sisdri(est, jnp.asarray(targets), initial_mixtures=jnp.asarray(mixture))

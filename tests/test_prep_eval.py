@@ -190,3 +190,43 @@ def test_radam_cosine_optimizer_trains():
     for i in range(3):
         state, metrics = trainer.train_step(state, jnp.array(src), jax.random.key(i))
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_evaluate_cli_full_length(tmp_path):
+    """--full_length: whole utterances through the overlap-add runtime."""
+    from sudo_rm_rf_tpu.cli.evaluate import main
+
+    rng = np.random.default_rng(5)
+    base = tmp_path / "wav8k" / "min" / "tt"
+    for i in range(2):
+        n = SR * 3 + 777  # odd lengths
+        s1 = rng.standard_normal(n)
+        s2 = rng.standard_normal(n)
+        for d, wav in (("s1", s1), ("s2", s2), ("mix_clean", s1 + s2)):
+            os.makedirs(base / d, exist_ok=True)
+            wavfile.write(str(base / d / f"u{i}.wav"), SR,
+                          (wav * 8000).astype(np.int16))
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    from sudo_rm_rf_tpu import models
+
+    model = models.SuDORMRFImproved(
+        out_channels=16, in_channels=32, num_blocks=1, upsampling_depth=2,
+        enc_kernel_size=21, enc_num_basis=16, num_sources=2,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, SR)))["params"]
+    ckpt = tmp_path / "m.msgpack"
+    ckpt.write_bytes(flax.serialization.to_bytes(params))
+
+    rc = main([
+        "--checkpoint", str(ckpt), "--model_type", "relu",
+        "--dataset", "WHAM", "--split", "test", "-fs", str(SR),
+        "--timelength", "1.0", "--full_length",
+        "--out_channels", "16", "--in_channels", "32", "--num_blocks", "1",
+        "--upsampling_depth", "2", "--enc_num_basis", "16",
+        "--root_dirpath", str(tmp_path),
+    ])
+    assert rc == 0
