@@ -221,6 +221,11 @@ class SuDORMRFImproved(nn.Module):
     enc_num_basis: int = 512
     num_sources: int = 2
     block_impl: str = "xla"
+    # rematerialize block activations in backward (jax.checkpoint): trades
+    # ~1 extra forward for O(num_blocks) less activation memory — lets
+    # U36/4096-class configs train at batch sizes where the reference OOMs
+    # (BASELINE.md rows 3/6).
+    remat_blocks: bool = False
 
     @property
     def n_least_samples_req(self) -> int:
@@ -249,6 +254,8 @@ class SuDORMRFImproved(nn.Module):
         x = Conv1d(self.enc_num_basis, self.out_channels, 1, name="bottleneck")(x)
 
         block_cls = UConvBlockFMA if self.block_impl == "fma" else UConvBlock
+        if self.remat_blocks:
+            block_cls = nn.remat(block_cls)
         for i in range(self.num_blocks):
             x = block_cls(
                 out_channels=self.out_channels,
