@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--att_n_heads", type=int, default=4)
     p.add_argument("--att_dropout", type=float, default=0.1)
     p.add_argument("--block_impl", type=str, default="fma", choices=["xla", "fma"])
+    p.add_argument("--remat_blocks", action="store_true",
+                   help="rematerialize block activations (train larger configs)")
     p.add_argument(
         "--model_type", type=str, default="relu",
         choices=["relu", "softmax", "groupcomm_v2", "causal", "attention",
@@ -107,6 +109,7 @@ def args_to_config(args) -> ExperimentConfig:
         att_dims=args.att_dims,
         att_dropout=args.att_dropout,
         block_impl=args.block_impl,
+        remat_blocks=args.remat_blocks,
     )
     data = DataConfig(
         train=tuple(args.train or ()),

@@ -83,6 +83,7 @@ class ModelConfig:
     # improved-model block implementation: 'xla' or 'fma' (same params;
     # the FMA formulation is ~1.7x faster on TPU, fwd and bwd)
     block_impl: str = "fma"
+    remat_blocks: bool = False
 
 
     def build(self):
@@ -98,7 +99,8 @@ class ModelConfig:
             num_sources=self.num_sources,
         )
         if self.model_type in ("relu", "improved"):
-            kwargs.update(block_impl=self.block_impl)
+            kwargs.update(block_impl=self.block_impl,
+                          remat_blocks=self.remat_blocks)
         if self.model_type == "groupcomm_v2":
             kwargs.update(group_size=self.group_size,
                           in_audio_channels=self.in_audio_channels)
