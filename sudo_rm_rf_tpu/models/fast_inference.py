@@ -245,9 +245,14 @@ def groupcomm_forward_fast(
     num_sources: int = 2,
     group_size: int = 16,
     in_audio_channels: int = 1,
-    impl: str = "fma",
+    impl: str = "fma_merged",
 ) -> jax.Array:
     """Fast serving forward for GroupCommSuDORMRF over its flax param tree.
+
+    impl: 'fma_merged' (default; groups merged into full VPU lanes),
+    'fma' (group-folded), 'pallas', or anything else -> XLA reference.
+    Measured bs4 fp32: merged 10.26 ms vs flax apply 10.48 ms vs folded
+    fma 15.4 ms vs pallas 32 ms (docs/ROADMAP.md item 3).
 
     The group fold (B, C, T) -> (B*G, C/G, T) runs each shared small
     U-ConvBlock through the FMA formulation; TAC linears are einsums.
