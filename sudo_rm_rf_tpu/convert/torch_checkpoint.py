@@ -151,4 +151,13 @@ def load_pt_file(path: str, reference_root: str | None = None):
         )
         if hasattr(obj, k)
     }
+    # The reference's GroupCommSudoRmRf does not store group_size on the top
+    # module (`groupcomm_sudormrf_v2.py:241` takes it as an arg only); its
+    # blocks keep it as ``num_group`` (`:399`). Recover it from there so the
+    # published GC checkpoint rehydrates with the right architecture.
+    if "group_size" not in attrs and hasattr(obj, "modules"):
+        for m in obj.modules():
+            if hasattr(m, "num_group"):
+                attrs["group_size"] = int(m.num_group)
+                break
     return obj.state_dict(), attrs

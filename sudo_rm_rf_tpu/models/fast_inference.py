@@ -123,26 +123,43 @@ def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
     c_in = g * in_pg
 
     def stats_ab(o, gamma, beta, n):
-        """per-(b, group) GlobLN folded to merged (B, C, 1) scale/shift."""
-        og = o.reshape(b, g, in_pg, -1)
-        mean = jnp.mean(og, axis=(2, 3), keepdims=True)
-        var = jnp.mean((og - mean) ** 2, axis=(2, 3), keepdims=True)
+        """per-(b, group) GlobLN folded to merged (B, C, 1) scale/shift.
+
+        Statistics accumulate in fp32 even under bf16 compute; the folded
+        scale/shift is cast back to the compute dtype so downstream traffic
+        stays narrow.
+        """
+        og = o.reshape(b, g, in_pg, -1).astype(jnp.float32)
+        # one-pass stats: sum and sum-of-squares fuse into a single read of o
+        # (mean-then-centered-var would re-read the full tensor)
+        nelem = og.shape[2] * og.shape[3]
+        s1 = jnp.sum(og, axis=(2, 3), keepdims=True)
+        s2 = jnp.sum(og * og, axis=(2, 3), keepdims=True)
+        mean = s1 / nelem
+        var = jnp.maximum(s2 / nelem - mean * mean, 0.0)
         inv = lax.rsqrt(var + 1e-8)  # (B, g, 1, 1)
-        gm = gamma[None, None, :, None]
-        bt = beta[None, None, :, None]
+        gm = gamma.astype(jnp.float32)[None, None, :, None]
+        bt = beta.astype(jnp.float32)[None, None, :, None]
         a = (gm * inv).reshape(b, g, in_pg, 1).reshape(b, c_in, 1)
         bb = (bt - gm * inv * mean).reshape(b, c_in, 1)
-        return a, bb
+        return a.astype(o.dtype), bb.astype(o.dtype)
 
     # proj 1x1 (shared across groups) + per-group GlobLN + PReLU
     xg = x.reshape(b, g, out_pg, t)
     y = jnp.einsum("bgct,ic->bgit", xg, kp["proj_w"]) + kp["proj_b"][None, None, :, None]
-    mean = jnp.mean(y, axis=(2, 3), keepdims=True)
-    var = jnp.mean((y - mean) ** 2, axis=(2, 3), keepdims=True)
-    y = (
-        kp["proj_g"][None, None, :, None] * (y - mean) * lax.rsqrt(var + 1e-8)
-        + kp["proj_beta"][None, None, :, None]
-    )
+    y32 = y.astype(jnp.float32)
+    nelem = y32.shape[2] * y32.shape[3]
+    s1 = jnp.sum(y32, axis=(2, 3), keepdims=True)
+    s2 = jnp.sum(y32 * y32, axis=(2, 3), keepdims=True)
+    mean = s1 / nelem
+    var = jnp.maximum(s2 / nelem - mean * mean, 0.0)
+    inv = lax.rsqrt(var + 1e-8)
+    gm = kp["proj_g"].astype(jnp.float32)[None, None, :, None]
+    sc = (gm * inv).astype(y.dtype)
+    sh = (
+        kp["proj_beta"].astype(jnp.float32)[None, None, :, None] - gm * inv * mean
+    ).astype(y.dtype)
+    y = sc * y + sh
     y = jnp.where(y >= 0, y, kp["proj_slope"] * y).reshape(b, c_in, t)
 
     # depthwise ladder on merged channels: weights tiled across groups
@@ -192,12 +209,19 @@ def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
 
     # final per-group GlobLN + PReLU + shared res 1x1 + residual
     accg = acc.reshape(b, g, in_pg, t)
-    mean = jnp.mean(accg, axis=(2, 3), keepdims=True)
-    var = jnp.mean((accg - mean) ** 2, axis=(2, 3), keepdims=True)
-    accg = (
-        kp["final_g"][None, None, :, None] * (accg - mean) * lax.rsqrt(var + 1e-8)
-        + kp["final_beta"][None, None, :, None]
-    )
+    a32 = accg.astype(jnp.float32)
+    nelem = a32.shape[2] * a32.shape[3]
+    s1 = jnp.sum(a32, axis=(2, 3), keepdims=True)
+    s2 = jnp.sum(a32 * a32, axis=(2, 3), keepdims=True)
+    mean = s1 / nelem
+    var = jnp.maximum(s2 / nelem - mean * mean, 0.0)
+    inv = lax.rsqrt(var + 1e-8)
+    gm = kp["final_g"].astype(jnp.float32)[None, None, :, None]
+    sc = (gm * inv).astype(accg.dtype)
+    sh = (
+        kp["final_beta"].astype(jnp.float32)[None, None, :, None] - gm * inv * mean
+    ).astype(accg.dtype)
+    accg = sc * accg + sh
     accg = jnp.where(accg >= 0, accg, kp["final_slope"] * accg)
     out = jnp.einsum("bgit,ci->bgct", accg, kp["res_w"]) + kp["res_b"][
         None, None, :, None
@@ -207,7 +231,15 @@ def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
 
 def _tac_fast(p, x):
     """TAC over (B, G, N, T) with the flax TAC's param subtree
-    (groupcomm_sudormrf.py TAC), as explicit einsums."""
+    (groupcomm_sudormrf.py TAC), as explicit einsums.
+
+    Bandwidth-shaped rewrite of the reference math (same values):
+    instead of broadcasting the group-mean to (B, G, H, T) and
+    concatenating to (B, G, 2H, T) before the output linear — ~230 MB of
+    HBM round-trips per block at bs4/4s — split W_out = [W_oy | W_om]
+    along its input dim and compute W_oy·y + (W_om·m)[:, None]: the mean
+    branch stays at its natural (B, H, T) size until the final add.
+    """
     b, g, n, t = x.shape
 
     def lin(sub, v):
@@ -222,9 +254,13 @@ def _tac_fast(p, x):
     mean = jnp.mean(y, axis=1)
     mean = prelu(p["TAC_mean_1"], lin(p["TAC_mean_0"], mean))
     h = y.shape[2]
-    mean = jnp.broadcast_to(mean[:, None], (b, g, h, t))
-    cat = jnp.concatenate([y, mean], axis=2)
-    out = prelu(p["TAC_output_1"], lin(p["TAC_output_0"], cat))
+    w_out = p["TAC_output_0"]["weight"]  # (N, 2H)
+    out = (
+        jnp.einsum("bgct,oc->bgot", y, w_out[:, :h])
+        + jnp.einsum("bct,oc->bot", mean, w_out[:, h:])[:, None]
+        + p["TAC_output_0"]["bias"][None, None, :, None]
+    )
+    out = prelu(p["TAC_output_1"], out)
     out = ops.glob_ln(
         out.reshape(b * g, n, t), p["TAC_norm"]["gamma"], p["TAC_norm"]["beta"]
     )
@@ -234,7 +270,8 @@ def _tac_fast(p, x):
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "upsampling_depth", "enc_kernel_size",
-                     "num_sources", "group_size", "in_audio_channels", "impl"),
+                     "num_sources", "group_size", "in_audio_channels", "impl",
+                     "compute_dtype"),
 )
 def groupcomm_forward_fast(
     params: dict,
@@ -246,6 +283,7 @@ def groupcomm_forward_fast(
     group_size: int = 16,
     in_audio_channels: int = 1,
     impl: str = "fma_merged",
+    compute_dtype: str = None,
 ) -> jax.Array:
     """Fast serving forward for GroupCommSuDORMRF over its flax param tree.
 
@@ -263,6 +301,11 @@ def groupcomm_forward_fast(
     in_len = input_wav.shape[-1]
     multiple = (enc_kernel_size // 2) * 2**upsampling_depth
     x = ops.pad_to_multiple(input_wav, multiple)
+
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        params = jax.tree.map(lambda a: a.astype(cdt), params)
+        x = x.astype(cdt)
 
     enc_num_basis = params["encoder"]["weight"].shape[0]
     out_channels = params["bottleneck"]["weight"].shape[0]
@@ -315,4 +358,4 @@ def groupcomm_forward_fast(
         padding=enc_kernel_size // 2,
         output_padding=(enc_kernel_size // 2) - 1,
     )
-    return ops.unpad_to_length(est, in_len)
+    return ops.unpad_to_length(est, in_len).astype(jnp.float32)

@@ -25,11 +25,22 @@ def glob_ln(
     gamma/beta are (C,) and broadcast along every trailing dim.
     """
     dims = tuple(range(1, x.ndim))
-    mean = jnp.mean(x, axis=dims, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=dims, keepdims=True)
-    normed = (x - mean) * jax.lax.rsqrt(var + eps)
     shape = (1, -1) + (1,) * (x.ndim - 2)
-    return gamma.reshape(shape) * normed + beta.reshape(shape)
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=dims, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=dims, keepdims=True)
+        normed = (x - mean) * jax.lax.rsqrt(var + eps)
+        return gamma.reshape(shape) * normed + beta.reshape(shape)
+    # low precision (bf16 serving): fp32 statistics, folded scale/shift
+    # applied in the compute dtype so tensor traffic stays narrow
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=dims, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=dims, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    g32 = gamma.astype(jnp.float32).reshape(shape)
+    sc = (g32 * inv).astype(x.dtype)
+    sh = (beta.astype(jnp.float32).reshape(shape) - g32 * inv * mean).astype(x.dtype)
+    return sc * x + sh
 
 
 def channel_ln(

@@ -206,3 +206,41 @@ def test_groupcomm_forward_fast_pallas_interpret():
     finally:
         fi.fused_uconv_block = old
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_groupcomm_forward_fast_merged_and_bf16():
+    """fma_merged parity at fp32, and the bf16 serving path's fidelity gate.
+
+    The bf16 path (compute_dtype='bfloat16') keeps GlobLN statistics in
+    fp32 and returns fp32; fidelity vs the fp32 path must stay above the
+    serving gate (~36 dB measured on TPU, looser here for CPU rounding).
+    """
+    from sudo_rm_rf_tpu.models.fast_inference import groupcomm_forward_fast
+
+    hp = dict(
+        in_audio_channels=1, out_channels=32, in_channels=64, num_blocks=2,
+        upsampling_depth=3, enc_kernel_size=21, enc_num_basis=24,
+        num_sources=2, group_size=4,
+    )
+    model = models.GroupCommSuDORMRF(**hp)
+    x = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 1, 661)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(variables, x))
+    kwargs = dict(num_blocks=2, upsampling_depth=3, enc_kernel_size=21,
+                  num_sources=2, group_size=4)
+    got = np.asarray(
+        groupcomm_forward_fast(variables["params"], x, impl="fma_merged", **kwargs)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    bf = np.asarray(
+        groupcomm_forward_fast(
+            variables["params"], x, impl="fma_merged",
+            compute_dtype="bfloat16", **kwargs,
+        )
+    )
+    assert bf.dtype == np.float32
+    fidelity_db = 10 * np.log10((want**2).sum() / ((want - bf) ** 2).sum())
+    assert fidelity_db > 25.0, f"bf16 fidelity too low: {fidelity_db:.1f} dB"
