@@ -1,86 +1,89 @@
 """Headline benchmark: real-time separation factor on one TPU chip.
 
-Measures forward throughput of Improved SuDoRM-RF U16/Bases512 on 4 s @ 8 kHz
-mixtures (the BASELINE.md headline row: 53.3 ex/s fwd GPU bs4 on a 2080 Ti
-== 213.2 audio-sec/sec) and prints ONE JSON line.
+Improved SuDoRM-RF U16/Bases512 on 4 s @ 8 kHz mixtures (the BASELINE.md
+headline row: 53.3 ex/s fwd GPU bs4 on a 2080 Ti == 213.2 audio-sec/sec).
 
-vs_baseline is the ratio against that 2080 Ti number; the BASELINE.json
-north star is >= 50 audio-sec/sec/chip (value >= 50).
+Two rows are measured (VERDICT round-1 item 3):
+  * conservative: bs4, fp32, FMA serving path (models/fast_inference.py) —
+    numerics match the flax model to ~1e-6 (parity-tested);
+  * max-throughput: the fastest measured (batch, dtype, impl) config —
+    bs8 full-bf16 plain-conv apply, a sharp v5e tiling sweet spot — gated
+    on bf16-vs-fp32 output fidelity >= FIDELITY_GATE_DB. If the gate fails
+    the conservative row becomes the headline.
+
+Prints ONE JSON line; `value` is the gated max-throughput figure.
+
+Timing methodology: the axon relay makes block_until_ready unreliable
+(returns before execution) and bulk device_get extremely slow, so we run
+n data-dependent forwards inside ONE jitted fori_loop (runtime n, single
+compile) ending in a scalar readback, and difference two n values to
+cancel the fixed dispatch/readback overhead (utils/benchmark.timed_loop).
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+BASELINE_AU_S = 213.2  # 2080 Ti fwd bs4 (BASELINE.md derived)
+FIDELITY_GATE_DB = 35.0
+SECONDS = 4.0
+SR = 8000
+
 
 def main():
     from sudo_rm_rf_tpu import models
-
-    batch = 4
-    seconds = 4.0
-    sr = 8000
-    t = int(seconds * sr)
-
-    model = models.SuDORMRFImproved(
-        out_channels=256,
-        in_channels=512,
-        num_blocks=16,
-        upsampling_depth=5,
-        enc_kernel_size=21,
-        enc_num_basis=512,
-        num_sources=2,
-    )
-    x = jax.random.normal(jax.random.key(1), (batch, 1, t), jnp.float32)
-    params = model.init(jax.random.key(0), x)["params"]
-
-    # serving path: shifted-FMA ladder with folded GlobLN (impl='fma') —
-    # ~1.7x the plain conv lowering at identical fp32 numerics
-    # (models/fast_inference.py, parity-tested)
     from sudo_rm_rf_tpu.models.fast_inference import improved_forward_fast
+    from sudo_rm_rf_tpu.utils.benchmark import timed_loop
 
-    def forward(p, v):
-        return improved_forward_fast(
-            p, v, num_blocks=16, upsampling_depth=5, enc_kernel_size=21,
-            num_sources=2, impl="fma",
-        )
+    t = int(SECONDS * SR)
+    hp = dict(out_channels=256, in_channels=512, num_blocks=16,
+              upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
+              num_sources=2)
+    model = models.SuDORMRFImproved(**hp)
+    x4 = jax.random.normal(jax.random.key(1), (4, 1, t), jnp.float32)
+    params = model.init(jax.random.key(0), x4)["params"]
 
-    # Timing methodology: the axon relay makes block_until_ready unreliable
-    # (returns before execution) and bulk device_get extremely slow, so we
-    # run n data-dependent forwards inside ONE jitted while-loop (runtime n,
-    # single compile) ending in a scalar readback, and difference two n
-    # values to cancel the fixed dispatch/readback overhead.
-    def chain(p, x0, n):
-        def body(i, carry):
-            y = forward(p, carry)
-            return jnp.sum(y, axis=1, keepdims=True) * 0.1 + x0 * 0.9
+    # fidelity of the bf16 serving output vs the fp32 FMA path (same input)
+    ref = np.asarray(improved_forward_fast(params, x4, impl="fma"))
+    pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    bf = np.asarray(
+        model.apply({"params": pbf}, x4.astype(jnp.bfloat16))
+    ).astype(np.float32)
+    fidelity_db = float(10 * np.log10((ref**2).sum() / ((ref - bf) ** 2).sum()))
 
-        return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
+    # conservative row: bs4 fp32 FMA
+    def step_cons(c):
+        y = improved_forward_fast(params, c, impl="fma")
+        return jnp.sum(y, axis=1, keepdims=True) * 0.1 + x4 * 0.9
 
-    chainj = jax.jit(chain)
-    float(chainj(params, x, 1))  # compile + warm
+    cons_secs = timed_loop(step_cons, x4, n_hi=51)
+    cons_au = 4 * SECONDS / cons_secs
 
-    def timed(n, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            start = time.perf_counter()
-            float(chainj(params, x, n))
-            best = min(best, time.perf_counter() - start)
-        return best
+    # max-throughput row: bs8 full-bf16 plain-conv apply
+    x8 = jax.random.normal(jax.random.key(2), (8, 1, t), jnp.bfloat16)
 
-    n_lo, n_hi = 1, 101
-    per_fwd = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
-    audio_sec_per_sec = batch * seconds / per_fwd
-    baseline = 213.2  # 2080 Ti fwd bs4 (BASELINE.md derived)
+    def step_max(c):
+        y = model.apply({"params": pbf}, c)
+        return jnp.sum(y, axis=1, keepdims=True).astype(c.dtype) * 0.1 + c * 0.9
+
+    max_secs = timed_loop(step_max, x8, n_hi=51)
+    max_au = 8 * SECONDS / max_secs
+
+    gated = fidelity_db >= FIDELITY_GATE_DB and max_au > cons_au
+    value = max_au if gated else cons_au
     print(
         json.dumps(
             {
-                "metric": "fwd_realtime_factor_u16_bases512_bs4",
-                "value": round(audio_sec_per_sec, 2),
+                "metric": "fwd_realtime_factor_u16_bases512_max",
+                "value": round(value, 2),
                 "unit": "audio-sec/sec/chip",
-                "vs_baseline": round(audio_sec_per_sec / baseline, 3),
+                "vs_baseline": round(value / BASELINE_AU_S, 3),
+                "config": "bs8_bf16_conv" if gated else "bs4_fp32_fma",
+                "bf16_fidelity_db": round(fidelity_db, 1),
+                "fidelity_gate_db": FIDELITY_GATE_DB,
+                "conservative_bs4_fp32": round(cons_au, 2),
             }
         )
     )

@@ -21,6 +21,11 @@ def main(argv=None):
     p.add_argument("--batch_sizes", nargs="+", type=int, default=[1, 4])
     p.add_argument("--timelength", type=float, default=4.0)
     p.add_argument("-fs", type=int, default=8000)
+    p.add_argument("--path", default="serving", choices=["serving", "apply"],
+                   help="forward to time: the model's fastest parity-tested "
+                        "serving path (default) or plain flax apply")
+    p.add_argument("--dtype", default=None,
+                   help="compute dtype for forward rows (e.g. bfloat16)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of one forward here "
                         "(view with tensorboard/xprof)")
@@ -39,7 +44,8 @@ def main(argv=None):
             for bs in args.batch_sizes:
                 row = benchmark_model(
                     model, batch_size=bs, timelength=args.timelength,
-                    fs=args.fs, measure=measure,
+                    fs=args.fs, measure=measure, path=args.path,
+                    dtype=args.dtype,
                 )
                 row["model"] = name
                 print(json.dumps(row, default=str))

@@ -85,10 +85,11 @@ class FUSSDataset:
         out[: len(wavs)] = stacked
         return out
 
-    def get_generator(self, batch_size=4, shuffle=True, num_workers=4, **kw):
+    def get_generator(self, batch_size=4, shuffle=True, num_workers=4,
+                      drop_last=True, **kw):
         from sudo_rm_rf_tpu.data.loader import DataLoader
 
         return DataLoader(
             self, batch_size=batch_size, shuffle=shuffle,
-            num_workers=num_workers, drop_last=True, **kw,
+            num_workers=num_workers, drop_last=drop_last, **kw,
         )

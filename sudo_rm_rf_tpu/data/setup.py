@@ -120,7 +120,13 @@ def create_augmented_loader(
 
 def setup(hparams: Dict) -> Dict:
     """Build {train, val, test, train_val} generators from an hparams dict
-    (`dataset_setup.py:79-106`)."""
+    (`dataset_setup.py:79-106`).
+
+    For FUSS val/test splits the plain generator is replaced by one
+    generator per source count, keyed ``{split}_{n}_srcs`` — the reference
+    hardcodes these so each count is evaluated with the right
+    StabilizedPermInvSISDRMetric (`run_fuss_separation.py:61-75`).
+    """
     generators = {}
     for data_split in ["train", "val", "test", "train_val"]:
         names = hparams.get(data_split)
@@ -132,6 +138,32 @@ def setup(hparams: Dict) -> Dict:
                 "Current implementation does not support training using "
                 "multiple datasets."
             )
+        if names[0] == "FUSS" and data_split in ("val", "test"):
+            generators[data_split] = None
+            lo = int(hparams.get("min_num_sources", 1))
+            hi = int(hparams.get("max_num_sources", 4))
+            for n in range(lo, hi + 1):
+                loader = create_loader_for_simple_dataset(
+                    dataset_name="FUSS",
+                    separation_task=hparams.get("separation_task"),
+                    data_split=data_split,
+                    sample_rate=hparams["fs"],
+                    zero_pad=hparams.get("zero_pad_audio", True),
+                    timelength=hparams["audio_timelength"],
+                    normalize_audio=hparams.get("normalize_audio", False),
+                    n_samples=0,
+                    min_num_sources=n,
+                    max_num_sources=n,
+                    root_dirpath=hparams.get("fuss_root"),
+                )
+                generators[f"{data_split}_{n}_srcs"] = loader.get_generator(
+                    batch_size=hparams["batch_size"],
+                    num_workers=hparams.get("n_jobs", 4),
+                    shuffle=False,
+                    # eval keeps partial batches (torch DataLoader default)
+                    drop_last=False,
+                )
+            continue
         loader = create_loader_for_simple_dataset(
             dataset_name=names[0],
             separation_task=hparams.get("separation_task"),

@@ -33,7 +33,8 @@ from sudo_rm_rf_tpu.ops.pallas.uconv import (
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "upsampling_depth", "enc_kernel_size",
-                     "num_sources", "use_pallas", "interpret", "impl"),
+                     "num_sources", "use_pallas", "interpret", "impl",
+                     "compute_dtype"),
 )
 def improved_forward_fast(
     params: dict,
@@ -45,6 +46,7 @@ def improved_forward_fast(
     use_pallas: bool = False,
     interpret: bool = False,
     impl: str = None,
+    compute_dtype: str = None,
 ) -> jax.Array:
     """params: the flax 'params' tree of SuDORMRFImproved. x: (B, 1|-, T).
 
@@ -52,12 +54,21 @@ def improved_forward_fast(
     subject to the backend's VMEM/compile envelope, see docs/ARCHITECTURE),
     or 'xla' (plain convs). use_pallas=True is legacy shorthand for
     impl='pallas'.
+
+    compute_dtype: e.g. 'bfloat16' for half-bandwidth serving — norm
+    statistics stay fp32, output is cast back to fp32 (fidelity gated in
+    tests and reported by bench.py).
     """
     if input_wav.ndim == 2:
         input_wav = input_wav[:, None, :]
     in_len = input_wav.shape[-1]
     multiple = (enc_kernel_size // 2) * 2**upsampling_depth
     x = ops.pad_to_multiple(input_wav, multiple)
+
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        params = jax.tree.map(lambda a: a.astype(cdt), params)
+        x = x.astype(cdt)
 
     enc_num_basis = params["encoder"]["weight"].shape[0]
 
@@ -102,7 +113,7 @@ def improved_forward_fast(
         padding=enc_kernel_size // 2,
         output_padding=(enc_kernel_size // 2) - 1,
     )
-    return ops.unpad_to_length(est, in_len)
+    return ops.unpad_to_length(est, in_len).astype(jnp.float32)
 
 
 def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):

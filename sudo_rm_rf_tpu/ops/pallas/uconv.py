@@ -86,8 +86,13 @@ def uconv_block_fma(x, params, depth: int):
     y = jnp.where(y >= 0, y, params["proj_slope"] * y)
 
     def stats(o, n):
-        mean = jnp.sum(o, axis=(1, 2), keepdims=True) / n
-        var = jnp.sum((o - mean) ** 2, axis=(1, 2), keepdims=True) / n
+        # one-pass sum/sumsq (fuses into the producing conv; the centered
+        # form would re-read the tensor), fp32 accumulation under bf16
+        o32 = o.astype(jnp.float32)
+        s1 = jnp.sum(o32, axis=(1, 2), keepdims=True)
+        s2 = jnp.sum(o32 * o32, axis=(1, 2), keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
         return mean, lax.rsqrt(var + 1e-8)
 
     def conv_s1(v, w):  # v (B, C, T); w (C, 5)
@@ -122,10 +127,10 @@ def uconv_block_fma(x, params, depth: int):
         o = conv_s1(x_in, w_k) if k == 0 else conv_s2(x_in, w_k)
         o = o + params["dw_b"][k][None, :, None]
         mean, inv = stats(o, ci * o.shape[-1])
-        g = params["dw_g"][k][None, :, None]
-        be = params["dw_beta"][k][None, :, None]
-        a = g * inv
-        bb = be - g * inv * mean
+        g = params["dw_g"][k].astype(jnp.float32)[None, :, None]
+        be = params["dw_beta"][k].astype(jnp.float32)[None, :, None]
+        a = (g * inv).astype(o.dtype)
+        bb = (be - g * inv * mean).astype(o.dtype)
         raw.append(o)
         folds.append((a, bb))
         cur = o

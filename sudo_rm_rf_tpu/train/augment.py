@@ -94,7 +94,8 @@ def fuss_online_augment(key: jax.Array, clean_sources: jax.Array) -> jax.Array:
     return aug * gains
 
 
-def fuss_mixture(sources: jax.Array, eps: float = 1e-8):
-    """Sum sources and standardize, FUSS-style (`run_fuss_separation.py:237-243`)."""
+def fuss_mixture(sources: jax.Array, eps: float = 1e-9):
+    """Sum sources and standardize, FUSS-style (`run_fuss_separation.py:237-243`,
+    which stabilizes the std with 1e-9 rather than normalize_tensor_wav's 1e-8)."""
     mixture = jnp.sum(sources, axis=1)
     return normalize_wav(mixture, eps)

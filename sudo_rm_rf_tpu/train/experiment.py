@@ -78,6 +78,33 @@ def _make_recipe(config: ExperimentConfig):
     return prepare, loss_fn
 
 
+def fuss_val_batch(forward, batch, n_actual: int, num_sources: int):
+    """One FUSS validation batch, per the reference pipeline
+    (`run_fuss_separation.py:279-310`): mixture = standardized sum of the
+    n_actual sources (std eps 1e-9), estimates from ``forward`` (which must
+    already include the mixture-consistency projection), scored with the
+    stabilized per-source-count SI-SDR (improvement for n_actual > 1; for
+    n_actual == 1 only estimate slot 0 is compared — the reference's P(1,1)
+    permutation, `sisdr.py:526-528`).
+
+    Returns (per-sample metric values, estimates, mixture).
+    """
+    targets = jnp.asarray(batch)  # (B, n_actual, T)
+    mix = jnp.sum(targets, axis=1, keepdims=True)
+    mixture = augment_lib.normalize_wav(mix, eps=1e-9)
+    est = forward(mixture)
+    metric = losses_lib.StabilizedPermInvSISDRMetric(
+        n_estimated_sources=num_sources if n_actual > 1 else 1,
+        n_actual_sources=n_actual,
+        zero_mean=True,
+        improvement=n_actual > 1,
+        backward_loss=False,
+        return_individual_results=True,
+    )
+    vals = metric(est[:, :1] if n_actual == 1 else est, targets)
+    return vals, est, mixture
+
+
 def run_experiment(
     config: ExperimentConfig,
     generators: Optional[Dict] = None,
@@ -97,6 +124,12 @@ def run_experiment(
 
     model = config.model.build()
     prepare, loss_fn = _make_recipe(config)
+    dataset = config.data.train[0] if config.data.train else "WHAM"
+    mixture_consistency = config.train.mixture_consistency
+    if dataset == "FUSS" and mixture_consistency is None:
+        # the reference FUSS runner always projects estimates back onto the
+        # mixture, in train and val (`run_fuss_separation.py:252,297-300`)
+        mixture_consistency = "uniform"
     steps_per_epoch = max(len(generators["train"]), 1)
     # data-parallel mesh sized so the configured batch divides it
     import math as _math
@@ -114,7 +147,7 @@ def run_experiment(
             steps_per_epoch=steps_per_epoch,
             clip_grad_norm=config.train.clip_grad_norm,
             loss_clamp=config.train.loss_clamp,
-            mixture_consistency=config.train.mixture_consistency,
+            mixture_consistency=mixture_consistency,
             optimizer=config.train.optimizer,
             total_steps=max(config.train.n_epochs * steps_per_epoch, 1),
         ),
@@ -164,28 +197,52 @@ def run_experiment(
             res_dic["tr_loss"]["acc"].append(float(metrics["loss"]))
             step += 1
 
-        for val_name in ("val", "test", "train_val"):
+        val_names = [
+            k for k in generators
+            if k != "train" and (k in ("val", "test", "train_val")
+                                 or k.endswith("_srcs"))
+        ]
+        for val_name in val_names:
             gen = generators.get(val_name)
             if gen is None or (hasattr(gen, "__len__") and len(gen) == 0):
                 continue
-            metric_name = f"{val_name}_SISDRi"
-            res_dic.setdefault(metric_name, {"acc": []})
-            last_batch = None
-            for batch in gen:
-                if isinstance(batch, (tuple, list)) and len(batch) >= 2:
-                    mixture, targets = batch[0], batch[-1]
-                    if mixture.ndim == 2:
-                        mixture = mixture[:, None, :]
-                else:  # FUSS: sources only
-                    targets = batch
-                    mixture = np.asarray(targets).sum(1, keepdims=True)
-                est = trainer._jit_forward(state.params, jnp.asarray(mixture))
-                vals = sisdri(
-                    est, jnp.asarray(targets)[:, : config.model.num_sources],
-                    initial_mixtures=jnp.asarray(mixture),
+            if val_name.endswith("_srcs"):
+                # FUSS per-source-count eval: standardized sum mixture,
+                # mixture-consistent estimates (inside _jit_forward),
+                # stabilized SI-SDR over P(n_est, n_actual) injections
+                # (`run_fuss_separation.py:104-131, 279-310`)
+                n_actual = int(val_name.split("_")[1])
+                metric_name = (
+                    f"{val_name}_SISDRi" if n_actual > 1 else f"{val_name}_SISDR"
                 )
-                res_dic[metric_name]["acc"] += np.asarray(vals).tolist()
-                last_batch = (est, targets, mixture)
+                res_dic.setdefault(metric_name, {"acc": []})
+                last_batch = None
+                for batch in gen:
+                    vals, est, mixture = fuss_val_batch(
+                        lambda m: trainer._jit_forward(state.params, m),
+                        batch, n_actual, config.model.num_sources,
+                    )
+                    res_dic[metric_name]["acc"] += np.asarray(vals).tolist()
+                    last_batch = (est, batch, mixture)
+            else:
+                metric_name = f"{val_name}_SISDRi"
+                res_dic.setdefault(metric_name, {"acc": []})
+                last_batch = None
+                for batch in gen:
+                    if isinstance(batch, (tuple, list)) and len(batch) >= 2:
+                        mixture, targets = batch[0], batch[-1]
+                        if mixture.ndim == 2:
+                            mixture = mixture[:, None, :]
+                    else:  # variable-count sources without per-count split
+                        targets = batch
+                        mixture = np.asarray(targets).sum(1, keepdims=True)
+                    est = trainer._jit_forward(state.params, jnp.asarray(mixture))
+                    vals = sisdri(
+                        est, jnp.asarray(targets)[:, : config.model.num_sources],
+                        initial_mixtures=jnp.asarray(mixture),
+                    )
+                    res_dic[metric_name]["acc"] += np.asarray(vals).tolist()
+                    last_batch = (est, targets, mixture)
             if last_batch is not None and epoch % log_audio_every == 0:
                 audio_logger.log_batch(
                     np.asarray(last_batch[0]), np.asarray(last_batch[1]),
@@ -201,9 +258,12 @@ def run_experiment(
         )
 
         ckpt.save_every(state, epoch + 1, config.train.save_checkpoint_every)
-        if "val_SISDRi" in res_dic:
+        best_key = "val_SISDRi" if "val_SISDRi" in res_dic else next(
+            (k for k in res_dic if k.startswith("val") and "_SISDR" in k), None
+        )
+        if best_key is not None:
             ckpt.save_if_best(
-                state, "val_SISDRi", res_dic["val_SISDRi"]["mean"], epoch + 1
+                state, best_key, res_dic[best_key]["mean"], epoch + 1
             )
         for metric, vals in res_dic.items():
             if vals["acc"]:

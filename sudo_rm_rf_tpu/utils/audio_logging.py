@@ -51,8 +51,10 @@ class AudioLogger:
         os.makedirs(step_dir, exist_ok=True)
         for b in range(min(pr.shape[0], max_batch_items)):
             items = {"mixture": mix[b]}
-            for s in range(min(self.n_sources, pr.shape[1])):
+            # FUSS per-count val sets have fewer true sources than estimates
+            for s in range(min(self.n_sources, t.shape[1])):
                 items[f"true_s{s + 1}"] = t[b, s]
+            for s in range(min(self.n_sources, pr.shape[1])):
                 items[f"est_s{s + 1}"] = pr[b, s]
             for name, wav in items.items():
                 wav16 = (

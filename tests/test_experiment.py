@@ -233,4 +233,82 @@ def test_run_experiment_fuss_recipe(tmp_path):
     logger = ExperimentLogger(str(tmp_path / "logs"), "fuss_exp")
     state, history = run_experiment(cfg, logger=logger)
     assert np.isfinite(history[-1]["tr_loss"])
-    assert "val_SISDRi" in history[-1]
+    # per-source-count validation sets (`run_fuss_separation.py:61-75`):
+    # SISDR (no improvement) for 1 source, stabilized SISDRi otherwise
+    assert "val_1_srcs_SISDR" in history[-1]
+    assert "val_2_srcs_SISDRi" in history[-1]
+    assert "val_3_srcs_SISDRi" in history[-1]
+    assert "val_SISDRi" not in history[-1]
+    for k in ("val_1_srcs_SISDR", "val_2_srcs_SISDRi", "val_3_srcs_SISDRi"):
+        assert np.isfinite(history[-1][k])
+
+
+def test_fuss_validation_matches_torch_pipeline(tmp_path):
+    """The FUSS val path (standardized sum mixture -> model -> mixture
+    consistency -> stabilized per-count SI-SDR) must reproduce the torch
+    reference pipeline (`run_fuss_separation.py:279-310`) on a converted
+    model, including batches whose source count is below the model's
+    estimate count."""
+    import glob as _glob
+    import sys
+
+    sys.modules.setdefault("glob2", _glob)
+    sys.path.insert(0, "/root/reference")
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from sudo_rm_rf.dnn.losses import sisdr as torch_sisdr
+    from sudo_rm_rf.dnn.experiments.utils import mixture_consistency as torch_mc
+    from sudo_rm_rf.dnn.models import improved_sudormrf as torch_improved
+
+    from sudo_rm_rf_tpu import losses as losses_lib, models
+    from sudo_rm_rf_tpu.convert import state_dict_to_params
+    from sudo_rm_rf_tpu.train.experiment import fuss_val_batch
+
+    hp = dict(out_channels=16, in_channels=32, num_blocks=1,
+              upsampling_depth=2, enc_kernel_size=21, enc_num_basis=16,
+              num_sources=3)
+    tm = torch_improved.SuDORMRF(**hp)
+    tm.eval()
+    model = models.get_model("relu", **hp)
+    x0 = jnp.zeros((2, 1, 8000))
+    shapes = jax.eval_shape(model.init, jax.random.key(0), x0)["params"]
+    params = state_dict_to_params(tm.state_dict(), shapes)
+
+    rng = np.random.default_rng(11)
+    for n_actual in (1, 2, 3):
+        targets = rng.standard_normal((2, n_actual, 8000)).astype(np.float32)
+
+        # torch reference pipeline
+        t_targets = torch.from_numpy(targets)
+        t_mix = torch.sum(t_targets, -2, keepdim=True)
+        t_mix = (t_mix - t_mix.mean(-1, keepdim=True)) / (
+            t_mix.std(-1, keepdim=True) + 1e-9
+        )
+        with torch.no_grad():
+            rec = tm(t_mix)
+            rec = torch_mc.apply(rec, t_mix)
+        metric = torch_sisdr.StabilizedPermInvSISDRMetric(
+            zero_mean=True, single_source=False,
+            n_estimated_sources=hp["num_sources"] if n_actual > 1 else 1,
+            n_actual_sources=n_actual, backward_loss=False,
+            improvement=n_actual > 1, return_individual_results=True,
+        )
+        with torch.no_grad():
+            want = metric(
+                rec[:, :1] if n_actual == 1 else rec, t_targets
+            ).numpy()
+
+        # our pipeline (fuss_val_batch mirrors run_experiment's FUSS branch)
+        def forward(m):
+            est = model.apply({"params": params}, m)
+            return losses_lib.mixture_consistency(est, m, "uniform")
+
+        vals, _, _ = fuss_val_batch(
+            forward, targets, n_actual, hp["num_sources"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(vals), want, rtol=1e-3, atol=1e-3,
+            err_msg=f"n_actual={n_actual}",
+        )
