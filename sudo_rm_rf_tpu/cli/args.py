@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_num_sources", type=int, default=1)
     p.add_argument("--max_num_sources", type=int, default=4)
     p.add_argument("--separation_task", type=str, default="sep_clean")
+    # legacy AUGMENTED_* hierarchical datasets (cmd_args_parser.py -i/-val)
+    p.add_argument("--train_dataset_paths", nargs="+", default=[])
+    p.add_argument("--val_dataset_paths", nargs="+", default=[])
+    p.add_argument("--test_dataset_paths", nargs="+", default=[])
+    p.add_argument("--max_abs_snr", type=float, default=2.5)
     # training
     p.add_argument("-bs", "--batch_size", type=int, default=4)
     p.add_argument("--n_epochs", type=int, default=200)
@@ -45,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss_clamp", type=float, default=30.0)
     p.add_argument("--mixture_consistency", type=str, default=None,
                    choices=[None, "uniform", "magsq"])
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="microbatches per optimizer step (large effective "
+                        "batches beyond device memory)")
     p.add_argument("-fs", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
     # bookkeeping
@@ -59,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_checkpoint_every", type=int, default=10)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (incl. optimizer)")
+    p.add_argument("--log_audio_every", type=int, default=1,
+                   help="epochs between audio logging (device->host audio "
+                        "pulls are slow through the TPU relay)")
     # model
     p.add_argument("--out_channels", type=int, default=128)
     p.add_argument("--in_channels", type=int, default=512)
@@ -131,6 +142,10 @@ def args_to_config(args) -> ExperimentConfig:
         n_train_val=args.n_train_val,
         batch_size=args.batch_size,
         n_jobs=args.n_jobs,
+        train_dataset_paths=tuple(args.train_dataset_paths),
+        val_dataset_paths=tuple(args.val_dataset_paths),
+        test_dataset_paths=tuple(args.test_dataset_paths),
+        max_abs_snr=args.max_abs_snr,
     )
     train = TrainConfig(
         n_epochs=args.n_epochs,
@@ -141,6 +156,7 @@ def args_to_config(args) -> ExperimentConfig:
         loss_clamp=args.loss_clamp,
         mixture_consistency=args.mixture_consistency,
         optimizer=args.optimizer,
+        grad_accum_steps=args.grad_accum_steps,
         save_checkpoint_every=args.save_checkpoint_every,
         checkpoints_path=args.checkpoints_path,
         seed=args.seed,

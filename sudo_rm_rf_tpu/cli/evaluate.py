@@ -130,7 +130,8 @@ def main(argv=None):
             mixture_consistency=args.mixture_consistency,
         )
 
-    results = {"si_sdr": [], "si_sdri": []}
+    results = {"si_sdr": [], "si_sdri": [], "sdr": [], "sdri": [], "sir": [],
+               "sar": []}
     for batch in loader:
         if isinstance(batch, (tuple, list)):
             mixture, targets = batch[0], batch[-1]
@@ -148,6 +149,15 @@ def main(argv=None):
         results["si_sdri"] += np.asarray(
             sisdri(est, jnp.asarray(targets), initial_mixtures=jnp.asarray(mixture))
         ).tolist()
+        # BSS-eval SDR/SIR/SAR (+SDR improvement), the asteroid get_metrics
+        # row set (`simple_whamr_evaluation.py:153-171`); per-sample means
+        # over sources, like asteroid's average_over setting
+        bss = losses.bss_eval_improvement(
+            est, jnp.asarray(targets), jnp.asarray(mixture)
+        )
+        for ours, theirs in (("sdr", "sdr"), ("sdri", "sdr_i"),
+                             ("sir", "sir"), ("sar", "sar")):
+            results[ours] += np.asarray(bss[theirs]).mean(-1).tolist()
 
     summary = {
         k + "_mean": float(np.mean(v)) for k, v in results.items() if v

@@ -36,15 +36,19 @@ def main(argv=None):
         if root:
             os.environ[f"SUDO_TPU_{name.upper()}_ROOT"] = root
 
+    from sudo_rm_rf_tpu.parallel import maybe_distributed_initialize
     from sudo_rm_rf_tpu.train.experiment import run_experiment
     from sudo_rm_rf_tpu.utils import ExperimentLogger
+
+    maybe_distributed_initialize()
 
     logger = ExperimentLogger(
         args.experiment_logs_path, config.experiment_name,
         tags=list(config.tags), use_comet=args.use_comet,
         comet_project=args.project_name,
     )
-    run_experiment(config, logger=logger, resume=args.resume)
+    run_experiment(config, logger=logger, resume=args.resume,
+                   log_audio_every=args.log_audio_every)
     return 0
 
 

@@ -133,6 +133,12 @@ class DataConfig:
     n_train_val: int = 0
     batch_size: int = 4
     n_jobs: int = 4
+    # legacy AUGMENTED_* hierarchical online-mixing datasets
+    # (`dataset_specific_params.py:18-77`): per-split hierarchical roots
+    train_dataset_paths: Tuple[str, ...] = ()
+    val_dataset_paths: Tuple[str, ...] = ()
+    test_dataset_paths: Tuple[str, ...] = ()
+    max_abs_snr: float = 2.5
 
 
 @dataclass
@@ -145,6 +151,7 @@ class TrainConfig:
     loss_clamp: float = 30.0
     mixture_consistency: Optional[str] = None
     optimizer: str = "adam"  # 'adam' | 'radam_cosine'
+    grad_accum_steps: int = 1
     save_checkpoint_every: int = 10
     checkpoints_path: str = field(default_factory=lambda: paths.checkpoints)
     seed: int = 0

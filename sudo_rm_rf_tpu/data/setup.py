@@ -138,6 +138,18 @@ def setup(hparams: Dict) -> Dict:
                 "Current implementation does not support training using "
                 "multiple datasets."
             )
+        if names[0].startswith("AUGMENTED"):
+            # legacy hierarchical online-mixing path (run_sudormrf.py:30-51)
+            if not hparams.get(f"{data_split}_dataset_paths"):
+                generators[data_split] = None
+                continue
+            ds = create_augmented_loader(hparams, data_split)
+            generators[data_split] = ds.get_generator(
+                batch_size=hparams["batch_size"],
+                num_workers=hparams.get("n_jobs", 4),
+                shuffle=data_split == "train",
+            )
+            continue
         if names[0] == "FUSS" and data_split in ("val", "test"):
             generators[data_split] = None
             lo = int(hparams.get("min_num_sources", 1))

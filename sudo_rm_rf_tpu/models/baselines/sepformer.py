@@ -158,6 +158,91 @@ class SBTransformerBlock(nn.Module):
         )(x)
 
 
+class SBRNNBlock(nn.Module):
+    """RNN dual-path block (`sepformer.py:1121-1182`) — evident intent.
+
+    Upstream is broken dead code: the class body references ``SBRNN`` (the
+    speechbrain RNN lobe) which is never imported in the vendored file, so
+    instantiation raises NameError (covered by a test). The intent is a
+    bidirectional LSTM over (B, L, N) returning the raw (B, L, 2H) states;
+    param tree nests the torch LSTM under ``mdl``/``rnn`` to mirror the
+    speechbrain wrapper's state_dict naming.
+    """
+
+    input_size: int
+    hidden_channels: int
+    num_layers: int = 1
+    bidirectional: bool = True
+
+    @property
+    def out_dim(self) -> int:
+        return self.hidden_channels * (2 if self.bidirectional else 1)
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, N) -> (B, L, 2H)
+        return _SBRNNWrapper(
+            self.input_size, self.hidden_channels, self.num_layers,
+            self.bidirectional, name="mdl",
+        )(x)
+
+
+class _SBRNNWrapper(nn.Module):
+    """speechbrain RNN lobe naming: torch LSTM under child 'rnn'."""
+
+    input_size: int
+    hidden_channels: int
+    num_layers: int
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, x):
+        from sudo_rm_rf_tpu.models.baselines.dprnn import TorchLSTM
+
+        return TorchLSTM(
+            self.input_size, self.hidden_channels,
+            bidirectional=self.bidirectional, num_layers=self.num_layers,
+            name="rnn",
+        )(x)
+
+
+class DPTNetBlock(nn.Module):
+    """DPTNet dual-path block (`sepformer.py:1183-1260`): post-norm MHA,
+    then a bidirectional LSTM 'feed-forward' (d_model -> 2*d_model per
+    direction) + ReLU + Linear back to d_model, both with residuals.
+
+    Upstream quirk: the reference builds seq-first MHA and LSTM (no
+    batch_first) yet documents/passes (B, L, N) — its attention and
+    recurrence literally run across the BATCH axis. This module implements
+    the evident intent (per-sequence over L); the parity test recovers the
+    literal upstream numerics by transposing in/out, since the upstream
+    block is exactly this block applied to the transposed tensor. Dropout
+    is 0 upstream."""
+
+    d_model: int
+    nhead: int
+
+    @property
+    def out_dim(self) -> int:
+        return self.d_model
+
+    @nn.compact
+    def __call__(self, src):  # (B, L, N)
+        from sudo_rm_rf_tpu.models.baselines.dprnn import TorchLSTM
+
+        src2 = TorchMHA(self.d_model, self.nhead, name="self_attn")(src)
+        src = src + src2
+        src = _TorchLayerNorm(self.d_model, eps=1e-5, name="norm1")(src)
+        src2 = TorchLSTM(
+            self.d_model, self.d_model * 2, bidirectional=True, name="rnn"
+        )(src)
+        src2 = jax.nn.relu(src2)
+        src2 = Linear(self.d_model * 4, self.d_model, name="linear2")(
+            jnp.swapaxes(src2, -1, -2)
+        ).swapaxes(-1, -2)
+        src = src + src2
+        return _TorchLayerNorm(self.d_model, eps=1e-5, name="norm2")(src)
+
+
 class GlobalLayerNorm4(nn.Module):
     """SepFormer gLN over (C,K,S) with (C,1,1) params (`sepformer.py:536-607`)."""
 
@@ -204,8 +289,23 @@ def _over_add(x, gap):
     return out
 
 
+def _make_block(cfg: dict, name: str):
+    """Dual-path block factory: 'transformer' (SBTransformerBlock, the only
+    kind any reference runner uses), 'rnn' (SBRNNBlock), 'dptnet'
+    (DPTNetBlock) — `sepformer.py:1022,1121,1183`."""
+    cfg = dict(cfg)
+    kind = cfg.pop("block_type", "transformer")
+    if kind == "transformer":
+        return SBTransformerBlock(**cfg, name=name)
+    if kind == "rnn":
+        return SBRNNBlock(**cfg, name=name)
+    if kind == "dptnet":
+        return DPTNetBlock(**cfg, name=name)
+    raise ValueError(f"unknown dual-path block type {kind!r}")
+
+
 class DualComputationBlock(nn.Module):
-    """`sepformer.py:1277-1408` with SBTransformerBlock intra/inter models."""
+    """`sepformer.py:1277-1408` with selectable intra/inter block models."""
 
     out_channels: int
     intra_cfg: dict
@@ -218,12 +318,23 @@ class DualComputationBlock(nn.Module):
     def __call__(self, x):  # (B, N, K, S)
         b, n, k, s = x.shape
 
+        intra_blk = _make_block(self.intra_cfg, "intra_mdl")
+        inter_blk = _make_block(self.inter_cfg, "inter_mdl")
+        for blk in (intra_blk, inter_blk):
+            if getattr(blk, "out_dim", n) != n:
+                assert self.linear_layer_after_inter_intra, (
+                    "RNN dual-path blocks change the feature dim; "
+                    "linear_layer_after_inter_intra must be enabled "
+                    "(`sepformer.py:1330-1346`)"
+                )
+
         intra = jnp.transpose(x, (0, 3, 2, 1)).reshape(b * s, k, n)
-        intra = SBTransformerBlock(**self.intra_cfg, name="intra_mdl")(intra)
+        intra = intra_blk(intra)
         if self.linear_layer_after_inter_intra:
-            intra = Linear(n, self.out_channels, name="intra_linear")(
-                jnp.swapaxes(intra, -1, -2)
-            ).swapaxes(-1, -2)
+            intra = Linear(
+                getattr(intra_blk, "out_dim", n), self.out_channels,
+                name="intra_linear",
+            )(jnp.swapaxes(intra, -1, -2)).swapaxes(-1, -2)
         intra = jnp.transpose(intra.reshape(b, s, k, n), (0, 3, 2, 1))
         if self.norm == "ln":
             intra = GroupNorm1_4d(self.out_channels, name="intra_norm")(intra)
@@ -233,11 +344,12 @@ class DualComputationBlock(nn.Module):
             intra = intra + x
 
         inter = jnp.transpose(intra, (0, 2, 3, 1)).reshape(b * k, s, n)
-        inter = SBTransformerBlock(**self.inter_cfg, name="inter_mdl")(inter)
+        inter = inter_blk(inter)
         if self.linear_layer_after_inter_intra:
-            inter = Linear(n, self.out_channels, name="inter_linear")(
-                jnp.swapaxes(inter, -1, -2)
-            ).swapaxes(-1, -2)
+            inter = Linear(
+                getattr(inter_blk, "out_dim", n), self.out_channels,
+                name="inter_linear",
+            )(jnp.swapaxes(inter, -1, -2)).swapaxes(-1, -2)
         inter = jnp.transpose(inter.reshape(b, k, s, n), (0, 3, 1, 2))
         if self.norm == "ln":
             inter = GroupNorm1_4d(self.out_channels, name="inter_norm")(inter)
@@ -324,6 +436,32 @@ class SepFormer(nn.Module):
     inter_use_positional: bool = True
     intra_norm_before: bool = True
     inter_norm_before: bool = True
+    # dual-path block family: 'transformer' (the published SepFormer),
+    # 'rnn' (SBRNNBlock), or 'dptnet' (DPTNetBlock)
+    intra_block_type: str = "transformer"
+    inter_block_type: str = "transformer"
+    rnn_hidden: int = 256
+
+    def _block_cfg(self, which: str) -> dict:
+        kind = getattr(self, f"{which}_block_type")
+        n = self.encoder_out_nchannels
+        if kind == "transformer":
+            return dict(
+                block_type=kind,
+                num_layers=getattr(self, f"{which}_numlayers"), d_model=n,
+                nhead=getattr(self, f"{which}_nhead"),
+                d_ffn=getattr(self, f"{which}_dffn"),
+                use_positional_encoding=getattr(self, f"{which}_use_positional"),
+                norm_before=getattr(self, f"{which}_norm_before"),
+            )
+        if kind == "rnn":
+            return dict(
+                block_type=kind, input_size=n,
+                hidden_channels=self.rnn_hidden,
+                num_layers=getattr(self, f"{which}_numlayers"),
+            )
+        return dict(block_type=kind, d_model=n,
+                    nhead=getattr(self, f"{which}_nhead"))
 
     @nn.compact
     def __call__(self, mix):
@@ -345,18 +483,8 @@ class SepFormer(nn.Module):
             extralinear=self.masknet_useextralinearlayer,
             extraskip=self.masknet_extraskipconnection,
             numspks=spks,
-            intra_cfg=dict(
-                num_layers=self.intra_numlayers, d_model=n,
-                nhead=self.intra_nhead, d_ffn=self.intra_dffn,
-                use_positional_encoding=self.intra_use_positional,
-                norm_before=self.intra_norm_before,
-            ),
-            inter_cfg=dict(
-                num_layers=self.inter_numlayers, d_model=n,
-                nhead=self.inter_nhead, d_ffn=self.inter_dffn,
-                use_positional_encoding=self.inter_use_positional,
-                norm_before=self.inter_norm_before,
-            ),
+            intra_cfg=self._block_cfg("intra"),
+            inter_cfg=self._block_cfg("inter"),
             name="masknet",
         )(mix_w)
         sep_h = mix_w[None] * est_mask  # (spks, B, N, L)

@@ -77,3 +77,26 @@ def tp_param_shardings(params, mesh: Mesh, min_size: int = 256):
         return NamedSharding(mesh, P())
 
     return jax.tree.map(rule, params)
+
+
+def maybe_distributed_initialize() -> bool:
+    """Multi-host entry guard: call ``jax.distributed.initialize`` when the
+    standard coordination env vars are set, else no-op.
+
+    The reference has no multi-node path at all (SURVEY.md section 2.7); on
+    TPU pods the runtime usually auto-detects, so this only fires when the
+    user provides an explicit coordinator (JAX_COORDINATOR_ADDRESS [+
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID]). Returns True if initialized.
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True

@@ -149,6 +149,7 @@ def run_experiment(
             loss_clamp=config.train.loss_clamp,
             mixture_consistency=mixture_consistency,
             optimizer=config.train.optimizer,
+            grad_accum_steps=config.train.grad_accum_steps,
             total_steps=max(config.train.n_epochs * steps_per_epoch, 1),
         ),
         loss_fn=loss_fn,

@@ -69,6 +69,13 @@ class TrainerConfig:
     # mixed precision: forward/backward in this dtype, fp32 master params,
     # optimizer updates and the PIT loss always in fp32. None = full fp32.
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
+    # gradient accumulation: split each batch into this many microbatches
+    # inside the jitted step (lax.scan), averaging gradients — large
+    # effective batches beyond device memory. Augmentation still draws over
+    # the FULL batch first, so accumulated == large-batch numerics (the
+    # loss clamp applies per microbatch; equal whenever the clamp is
+    # inactive). 1 = off.
+    grad_accum_steps: int = 1
     # tensor parallelism: shard large params' output-channel dims over the
     # mesh 'model' axis (parallel.tp_param_shardings). No-op on model=1.
     shard_params: bool = False
@@ -187,18 +194,50 @@ class Trainer:
             else None
         )
 
-        def loss_of(params):
-            mix = mixture
+        def loss_of_batch(params, mix, tgt):
             if cdtype is not None:
                 params = jax.tree.map(lambda a: a.astype(cdtype), params)
-                mix = mixture.astype(cdtype)
+                mix = mix.astype(cdtype)
             est = self._forward(params, mix).astype(jnp.float32)
-            loss = self.loss_fn(est, targets)
+            loss = self.loss_fn(est, tgt)
             if self.config.loss_clamp > 0:
                 loss = jnp.clip(loss, -self.config.loss_clamp, self.config.loss_clamp)
             return loss
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        def loss_of(params):
+            return loss_of_batch(params, mixture, targets)
+
+        k = self.config.grad_accum_steps
+        if k > 1:
+            b = mixture.shape[0]
+            assert b % k == 0, (
+                f"batch {b} must divide grad_accum_steps {k}"
+            )
+
+            def micro(tree):
+                return jax.tree.map(
+                    lambda a: a.reshape((k, b // k) + a.shape[1:]), tree
+                )
+
+            m_mix, m_tgt = micro(mixture), micro(targets)
+
+            def accum(carry, mb):
+                mixture_i, targets_i = mb
+                loss_i, grads_i = jax.value_and_grad(
+                    lambda p: loss_of_batch(p, mixture_i, targets_i)
+                )(state.params)
+                loss_acc, grads_acc = carry
+                return (
+                    loss_acc + loss_i / k,
+                    jax.tree.map(lambda g, gi: g + gi / k, grads_acc, grads_i),
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                accum, (jnp.zeros(()), zeros), (m_mix, m_tgt)
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_of)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {

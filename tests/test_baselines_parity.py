@@ -158,3 +158,83 @@ def test_sepformer_parity():
     want, got = _convert_and_run(rm, jm, x)
     assert got.shape == want.shape == (2, 2, 1600)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_dptnet_block_parity():
+    """DPTNetBlock (`sepformer.py:1183-1260`) — the instantiable alt block.
+
+    The upstream block is built seq-first (no batch_first) but fed
+    (B, L, N), so its attention/recurrence run across the batch axis; our
+    block implements the per-sequence intent, which equals the upstream
+    computation on the transposed tensor — checked both ways here.
+    """
+    from sudo_rm_rf.dnn.models.sepformer import DPTNetBlock as RefBlock
+
+    from sudo_rm_rf_tpu.models.baselines.sepformer import DPTNetBlock
+
+    ref = RefBlock(d_model=16, nhead=4)
+    jm = DPTNetBlock(d_model=16, nhead=4)
+    x = np.random.default_rng(31).standard_normal((2, 40, 16)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    shapes = jax.eval_shape(
+        jm.init, jax.random.key(0), jnp.array(np.swapaxes(x, 0, 1))
+    )
+    params = state_dict_to_params(ref.state_dict(), shapes["params"])
+    got = np.swapaxes(
+        np.asarray(jm.apply({"params": params}, jnp.array(np.swapaxes(x, 0, 1)))),
+        0, 1,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sbrnn_block_upstream_broken_and_intent():
+    """SBRNNBlock upstream references an un-imported `SBRNN` symbol
+    (`sepformer.py:1159`) -> NameError; our block implements the evident
+    intent (speechbrain bidirectional LSTM returning raw (B, L, 2H))."""
+    from sudo_rm_rf.dnn.models import sepformer as ref_sep
+
+    with pytest.raises(NameError):
+        ref_sep.SBRNNBlock(16, 24, 1, bidirectional=True)
+
+    from sudo_rm_rf_tpu.models.baselines.sepformer import SBRNNBlock
+
+    jm = SBRNNBlock(input_size=16, hidden_channels=24, num_layers=1,
+                    bidirectional=True)
+    x = np.random.default_rng(32).standard_normal((2, 40, 16)).astype(np.float32)
+    shapes = jax.eval_shape(jm.init, jax.random.key(0), jnp.array(x))
+
+    # intent oracle: plain torch LSTM with the same (converted) weights
+    ref = torch.nn.LSTM(input_size=16, hidden_size=24, num_layers=1,
+                        bidirectional=True, batch_first=True)
+    sd = {f"mdl.rnn.{k}": v for k, v in ref.state_dict().items()}
+    params = state_dict_to_params(sd, shapes["params"])
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))[0].numpy()
+    got = np.asarray(jm.apply({"params": params}, jnp.array(x)))
+    assert got.shape == (2, 40, 48)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["rnn", "dptnet"])
+def test_sepformer_alt_block_forward(kind):
+    """SepFormer with the alternative dual-path block families runs and
+    preserves length (the reference never wires these into a runner; we
+    expose them via intra/inter_block_type)."""
+    from sudo_rm_rf_tpu.models.baselines.sepformer import SepFormer
+
+    jm = SepFormer(
+        encoder_kernel_size=16, encoder_out_nchannels=16,
+        masknet_chunksize=20, masknet_numlayers=1, masknet_numspks=2,
+        intra_numlayers=1, inter_numlayers=1, intra_nhead=4, inter_nhead=4,
+        intra_dffn=32, inter_dffn=32,
+        intra_block_type=kind, inter_block_type=kind, rnn_hidden=12,
+        masknet_useextralinearlayer=(kind == "rnn"),
+    )
+    x = np.random.default_rng(33).standard_normal((2, 1, 1600)).astype(np.float32)
+    params = jm.init(jax.random.key(0), jnp.array(x))["params"]
+    y = np.asarray(jm.apply({"params": params}, jnp.array(x)))
+    assert y.shape == (2, 2, 1600)
+    assert np.isfinite(y).all()

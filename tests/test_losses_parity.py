@@ -215,3 +215,55 @@ def test_functional_losses_match_reference():
     assert abs(float(losses.sisdr_loss(jt, je)) - ref.sisdr_loss(tt, te).item()) < 1e-3
     assert abs(float(losses.pit_loss(je, jt, si=True)) -
                ref.pit_loss(te, tt, SI=True).item()) < 1e-3
+
+
+def test_bss_eval_sources_matches_naive_numpy():
+    """Closed-form BSS-eval vs an explicit-projection numpy oracle."""
+    from sudo_rm_rf_tpu.losses import bss_eval_sources
+
+    rng = np.random.default_rng(21)
+    b, n, t = 3, 3, 800
+    targets = rng.standard_normal((b, n, t)).astype(np.float32)
+    # estimates = mixed sources + artifacts, shuffled per batch
+    mix_mat = rng.standard_normal((b, n, n)).astype(np.float32)
+    mix_mat += 2.5 * np.eye(n, dtype=np.float32)
+    est = np.einsum("ben,bnt->bet", mix_mat, targets)
+    est += 0.3 * rng.standard_normal(est.shape).astype(np.float32)
+    shuf = rng.permutation(n)
+    est = est[:, shuf]
+
+    got = {k: np.asarray(v) for k, v in bss_eval_sources(est, targets).items()}
+
+    import itertools
+
+    def naive_one(e, S):
+        # explicit least-squares projection onto span(S)
+        coefs, *_ = np.linalg.lstsq(S.T, e, rcond=None)
+        proj = coefs @ S
+        out = []
+        for j in range(S.shape[0]):
+            s_t = (e @ S[j]) / (S[j] @ S[j]) * S[j]
+            e_interf = proj - s_t
+            e_artif = e - proj
+            sdr = 10 * np.log10(
+                (s_t @ s_t) / ((e_interf + e_artif) @ (e_interf + e_artif))
+            )
+            sir = 10 * np.log10((s_t @ s_t) / (e_interf @ e_interf))
+            sar = 10 * np.log10((proj @ proj) / (e_artif @ e_artif))
+            out.append((sdr, sir, sar))
+        return np.array(out)  # (n_targets, 3)
+
+    for bi in range(b):
+        per_est = np.stack([naive_one(est[bi, i], targets[bi]) for i in range(n)])
+        # best mean-SIR permutation, mir_eval-style
+        best, best_perm = -np.inf, None
+        for perm in itertools.permutations(range(n)):
+            score = np.mean([per_est[perm[j], j, 1] for j in range(n)])
+            if score > best:
+                best, best_perm = score, perm
+        np.testing.assert_array_equal(got["perm"][bi], best_perm)
+        for j in range(n):
+            want_sdr, want_sir, want_sar = per_est[best_perm[j], j]
+            assert abs(got["sdr"][bi, j] - want_sdr) < 1e-2
+            assert abs(got["sir"][bi, j] - want_sir) < 1e-2
+            assert abs(got["sar"][bi, j] - want_sar) < 1e-2

@@ -246,3 +246,39 @@ def test_remat_blocks_trains_identically():
             state, m = trainer.train_step(state, jnp.array(src), jax.random.key(i))
         results[name] = float(m["loss"])
     assert results["plain"] == pytest.approx(results["remat"], abs=1e-4)
+
+
+def test_grad_accum_matches_large_batch():
+    """grad_accum_steps=k averages microbatch grads == one full-batch step
+    (augmentation draws over the full batch first, so numerics line up).
+    The loss clamp applies per microbatch, so it is disabled here for exact
+    equality (with it on, saturated microbatches clip independently)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.parallel import make_mesh
+    from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
+
+    model = models.SuDORMRFImproved(
+        out_channels=16, in_channels=32, num_blocks=1, upsampling_depth=2,
+        enc_kernel_size=9, enc_num_basis=16, num_sources=2,
+    )
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    src = jax.random.normal(jax.random.key(1), (8, 2, 512), jnp.float32)
+    states = {}
+    for k in (1, 4):
+        tr = Trainer(
+            model,
+            TrainerConfig(learning_rate=1e-3, grad_accum_steps=k,
+                          loss_clamp=0.0),
+            mesh=mesh,
+        )
+        st = tr.init_state(jax.random.key(0), jnp.zeros((8, 1, 512)))
+        st, metrics = tr.train_step(st, src, jax.random.key(2))
+        states[k] = (float(metrics["loss"]), st.params)
+
+    assert abs(states[1][0] - states[4][0]) < 1e-5
+    for a, b in zip(jax.tree.leaves(states[1][1]), jax.tree.leaves(states[4][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
