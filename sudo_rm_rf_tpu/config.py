@@ -84,6 +84,9 @@ class ModelConfig:
     # the FMA formulation is ~1.7x faster on TPU, fwd and bwd)
     block_impl: str = "fma"
     remat_blocks: bool = False
+    # attentive models: run the block stack as one lax.scan over stacked
+    # params (same math; much smaller compiled program)
+    scan_blocks: bool = False
 
 
     def build(self):
@@ -108,7 +111,8 @@ class ModelConfig:
             kwargs.update(in_audio_channels=self.in_audio_channels)
         elif self.model_type.startswith("attention"):
             kwargs.update(n_heads=self.n_heads, att_dims=self.att_dims,
-                          att_dropout=self.att_dropout)
+                          att_dropout=self.att_dropout,
+                          scan_blocks=self.scan_blocks)
         return models.get_model(self.model_type, **kwargs)
 
 

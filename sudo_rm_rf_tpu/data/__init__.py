@@ -16,6 +16,8 @@ from sudo_rm_rf_tpu.data.fuss import FUSSDataset
 from sudo_rm_rf_tpu.data.musdb import MusdbDataset
 from sudo_rm_rf_tpu.data.hierarchical import AugmentedOnlineMixingDataset
 
+from sudo_rm_rf_tpu.data.shards import ShardedDataset, pack_dataset, write_shards
+
 __all__ = [
     "DatasetConfigError",
     "check_arg",
@@ -28,4 +30,7 @@ __all__ = [
     "FUSSDataset",
     "MusdbDataset",
     "AugmentedOnlineMixingDataset",
+    "ShardedDataset",
+    "pack_dataset",
+    "write_shards",
 ]

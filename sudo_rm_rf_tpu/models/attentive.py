@@ -277,9 +277,41 @@ class _AttentiveUConvBlockBase(nn.Module):
         return out + residual
 
 
+class _ScanBlockBody(nn.Module):
+    """lax.scan body: one attentive block per step, params stacked on the
+    leading axis. Shrinks the traced program ~num_blocks x — the unrolled
+    attentive v3 HLO exceeds the axon relay's remote-compile request limit
+    (HTTP 413) and takes ~2 min to compile."""
+
+    block_kwargs: dict
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x = _AttentiveUConvBlockBase(**self.block_kwargs, name="block")(
+            carry, self.deterministic
+        )
+        return x, None
+
+
+def stack_block_params(params: dict, num_blocks: int, scan_name: str = "sm_scan"):
+    """Convert an unrolled param tree (sm_0..sm_{n-1}) to the scan layout
+    (sm_scan/block/... with leaves stacked on axis 0). Checkpoints convert
+    losslessly in either direction."""
+    subtrees = [params[f"sm_{i}"] for i in range(num_blocks)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *subtrees)
+    out = {k: v for k, v in params.items() if not k.startswith("sm_")}
+    out[scan_name] = {"block": stacked}
+    return out
+
+
 class _AttentiveSuDORMRFBase(nn.Module):
     """Shared outer skeleton (ref v2 `:339-447`): improved-style front/back
-    end, LCM padding, ReLU mask."""
+    end, LCM padding, ReLU mask.
+
+    scan_blocks=True runs the block stack as one lax.scan over stacked
+    params (identical math; use stack_block_params to convert checkpoints).
+    """
 
     out_channels: int = 128
     in_channels: int = 512
@@ -293,6 +325,7 @@ class _AttentiveSuDORMRFBase(nn.Module):
     num_sources: int = 2
     variant: str = "v2"
     hardcode_block_attention: bool = True  # ref v2/v3 ignore ctor attn args
+    scan_blocks: bool = False
 
     @property
     def lcm(self) -> int:
@@ -322,17 +355,31 @@ class _AttentiveSuDORMRFBase(nn.Module):
             n_heads, att_dims, att_dropout = (
                 self.n_heads, self.att_dims, self.att_dropout,
             )
-        for i in range(self.num_blocks):
-            x = _AttentiveUConvBlockBase(
-                out_channels=self.out_channels,
-                in_channels=self.in_channels,
-                upsampling_depth=self.upsampling_depth,
-                n_heads=n_heads,
-                att_dims=att_dims,
-                att_dropout=att_dropout,
-                variant=self.variant,
-                name=f"sm_{i}",
-            )(x, deterministic)
+        block_kwargs = dict(
+            out_channels=self.out_channels,
+            in_channels=self.in_channels,
+            upsampling_depth=self.upsampling_depth,
+            n_heads=n_heads,
+            att_dims=att_dims,
+            att_dropout=att_dropout,
+            variant=self.variant,
+        )
+        if self.scan_blocks:
+            scanned = nn.scan(
+                _ScanBlockBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_blocks,
+            )
+            x, _ = scanned(
+                block_kwargs=block_kwargs, deterministic=deterministic,
+                name="sm_scan",
+            )(x, None)
+        else:
+            for i in range(self.num_blocks):
+                x = _AttentiveUConvBlockBase(
+                    **block_kwargs, name=f"sm_{i}",
+                )(x, deterministic)
 
         x = PReLU(name="mask_net_0")(x)
         x = Conv1d(

@@ -84,3 +84,25 @@ def test_attentive_upstream_v1_is_broken():
     rm = ref.SuDORMRF(**HP)
     with pytest.raises(AttributeError):
         rm(torch.rand(1, 1, 501))
+
+
+def test_attentive_scan_blocks_parity():
+    """scan_blocks=True (one lax.scan over stacked block params) matches the
+    unrolled stack exactly after stack_block_params conversion."""
+    from sudo_rm_rf_tpu.models.attentive import (
+        AttentiveSuDORMRFv2, AttentiveSuDORMRFv3, stack_block_params)
+
+    hp = dict(out_channels=16, in_channels=32, num_blocks=3, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=16, num_sources=2)
+    for ctor in (AttentiveSuDORMRFv2, AttentiveSuDORMRFv3):
+        m_unr = ctor(**hp)
+        m_scan = ctor(**hp, scan_blocks=True)
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((2, 1, 1344)).astype(np.float32)
+        )
+        params = m_unr.init(jax.random.key(0), x)["params"]
+        want = np.asarray(m_unr.apply({"params": params}, x))
+        got = np.asarray(
+            m_scan.apply({"params": stack_block_params(params, 3)}, x)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

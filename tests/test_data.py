@@ -277,3 +277,67 @@ def test_create_augmented_loader_dispatch(tmp_path):
     val.set_epoch(3)
     b, _ = val[1]
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_dataset_roundtrip_and_loader(tmp_path):
+    """Shard packing: byte-exact roundtrip, variable shapes, DataLoader
+    integration (the many-small-files ingestion path, docs/ROADMAP #6)."""
+    import numpy as np
+
+    from sudo_rm_rf_tpu.data import ShardedDataset, write_shards
+    from sudo_rm_rf_tpu.data.loader import DataLoader
+
+    rng = np.random.default_rng(7)
+    recs = [
+        (rng.standard_normal(800).astype(np.float32),
+         rng.standard_normal((1 + i % 3, 800)).astype(np.float32))
+        for i in range(13)
+    ]
+    idx = write_shards(
+        iter(recs), str(tmp_path), name="mix",
+        schema=[("mixture", "float32"), ("sources", "float32")],
+        target_shard_bytes=4 * 800 * 4,  # force several shards
+    )
+    import glob as g
+    assert len(g.glob(str(tmp_path / "mix.shard-*.bin"))) > 1
+
+    ds = ShardedDataset(idx)
+    assert len(ds) == 13
+    for i in (0, 5, 12):
+        m, s = ds[i]
+        np.testing.assert_array_equal(m, recs[i][0])
+        np.testing.assert_array_equal(s, recs[i][1])
+
+    # fixed-shape subset batches through the threaded loader
+    fixed = [r for r in recs if r[1].shape[0] == 2]
+    idx2 = write_shards(iter(fixed), str(tmp_path), name="fixed",
+                        schema=[("mixture", "float32"), ("sources", "float32")])
+    loader = ShardedDataset(idx2).get_generator(batch_size=2, shuffle=True,
+                                                num_workers=2)
+    batches = list(loader)
+    assert batches and batches[0][0].shape == (2, 800)
+    assert batches[0][1].shape == (2, 2, 800)
+
+
+def test_pack_dataset_from_loader(tmp_path):
+    """pack_dataset shards an existing corpus loader (WHAM-style tuples)."""
+    import numpy as np
+
+    from sudo_rm_rf_tpu.data import ShardedDataset, pack_dataset
+
+    class Tiny:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return (rng.standard_normal(400).astype(np.float32),
+                    rng.standard_normal((2, 400)).astype(np.float32))
+
+    idx = pack_dataset(Tiny(), str(tmp_path), name="wham")
+    ds = ShardedDataset(idx)
+    assert len(ds) == 5
+    m, s = ds[3]
+    want_m, want_s = Tiny()[3]
+    np.testing.assert_array_equal(m, want_m)
+    np.testing.assert_array_equal(s, want_s)
