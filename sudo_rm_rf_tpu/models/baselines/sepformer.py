@@ -117,23 +117,64 @@ class TransformerEncoderLayer(nn.Module):
         return out
 
 
+class _ScanEncoderLayer(nn.Module):
+    """lax.scan body: one transformer layer per step (stacked params)."""
+
+    d_ffn: int
+    nhead: int
+    d_model: int
+    normalize_before: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x = TransformerEncoderLayer(
+            self.d_ffn, self.nhead, self.d_model,
+            normalize_before=self.normalize_before, name="layer",
+        )(carry)
+        return x, None
+
+
+def stack_encoder_layers(enc_params: dict, num_layers: int) -> dict:
+    """layers_0..layers_{n-1} -> layers_scan/layer stacked on axis 0."""
+    subtrees = [enc_params[f"layers_{j}"] for j in range(num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *subtrees)
+    out = {k: v for k, v in enc_params.items() if not k.startswith("layers_")}
+    out["layers_scan"] = {"layer": stacked}
+    return out
+
+
 class _TransformerEncoder(nn.Module):
     """SpeechBrain TransformerEncoder: layers.{j} + final norm
-    (`sepformer.py:437-533`)."""
+    (`sepformer.py:437-533`). scan_layers=True runs the stack as one
+    lax.scan over stacked params (identical math; the unrolled 32-layer
+    SepFormer HLO exceeds the TPU relay's remote-compile size limit)."""
 
     num_layers: int
     d_model: int
     nhead: int
     d_ffn: int
     norm_before: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x):
-        for j in range(self.num_layers):
-            x = TransformerEncoderLayer(
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScanEncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_layers,
+            )
+            x, _ = scanned(
                 self.d_ffn, self.nhead, self.d_model,
-                normalize_before=self.norm_before, name=f"layers_{j}",
-            )(x)
+                normalize_before=self.norm_before, name="layers_scan",
+            )(x, None)
+        else:
+            for j in range(self.num_layers):
+                x = TransformerEncoderLayer(
+                    self.d_ffn, self.nhead, self.d_model,
+                    normalize_before=self.norm_before, name=f"layers_{j}",
+                )(x)
         return LayerNormLast(self.d_model, name="norm")(x)
 
 
@@ -147,6 +188,7 @@ class SBTransformerBlock(nn.Module):
     d_ffn: int = 2048
     use_positional_encoding: bool = False
     norm_before: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x):  # (B, L, C)
@@ -154,8 +196,27 @@ class SBTransformerBlock(nn.Module):
             x = x + sinusoidal_pe(x.shape[1], self.d_model, x.dtype)[None]
         return _TransformerEncoder(
             self.num_layers, self.d_model, self.nhead, self.d_ffn,
-            norm_before=self.norm_before, name="mdl",
+            norm_before=self.norm_before, scan_layers=self.scan_layers,
+            name="mdl",
         )(x)
+
+
+def stack_sepformer_params(params: dict, numlayers: int = 2,
+                           intra_numlayers: int = 8,
+                           inter_numlayers: int = 8) -> dict:
+    """Convert an unrolled SepFormer param tree to the scan_layers layout
+    (each dual block's intra/inter encoder layers stacked)."""
+    out = dict(params)
+    masknet = dict(params["masknet"])
+    for i in range(numlayers):
+        dm = dict(masknet[f"dual_mdl_{i}"])
+        for which, n in (("intra", intra_numlayers), ("inter", inter_numlayers)):
+            blk = dict(dm[f"{which}_mdl"])
+            blk["mdl"] = stack_encoder_layers(blk["mdl"], n)
+            dm[f"{which}_mdl"] = blk
+        masknet[f"dual_mdl_{i}"] = dm
+    out["masknet"] = masknet
+    return out
 
 
 class SBRNNBlock(nn.Module):
@@ -441,6 +502,9 @@ class SepFormer(nn.Module):
     intra_block_type: str = "transformer"
     inter_block_type: str = "transformer"
     rnn_hidden: int = 256
+    # run each encoder's layer stack as one lax.scan over stacked params
+    # (identical math; see stack_sepformer_params for checkpoint conversion)
+    scan_layers: bool = False
 
     def _block_cfg(self, which: str) -> dict:
         kind = getattr(self, f"{which}_block_type")
@@ -453,6 +517,7 @@ class SepFormer(nn.Module):
                 d_ffn=getattr(self, f"{which}_dffn"),
                 use_positional_encoding=getattr(self, f"{which}_use_positional"),
                 norm_before=getattr(self, f"{which}_norm_before"),
+                scan_layers=self.scan_layers,
             )
         if kind == "rnn":
             return dict(

@@ -19,8 +19,18 @@ VMEM budget (Ci=512, Co=256, T=3200, bf16 pyramid): ~11 MB — fits a v5e
 core. Larger T should be tiled by the caller (the models pad T to
 L//2 * 2**depth multiples, and inference chunks long audio anyway).
 
-Forward-only: training takes the XLA path (this kernel has no custom VJP
-yet); parity with the XLA implementation is enforced by tests.
+Forward-only: training takes the XLA path (this kernel has no custom VJP);
+parity with the XLA implementation is enforced by tests.
+
+STATUS (round 2): retired from the serving path, kept as a tested
+experimental op. The `fma` XLA formulation captures ~95% of the fusion win
+(0.162 vs 0.150 ms/block at the kernel's best shape) with no VMEM/compile
+envelope and full differentiability, and the max-throughput serving config
+(bs8 bf16 plain conv) bypasses per-block kernels entirely. Extending this
+kernel past the (512 x 1600)-frame compile ceiling requires time tiling,
+and GlobLN's full-(C, T) statistics then force a second pass per ladder
+level — surrendering the VMEM-residency the kernel exists for. See
+docs/ARCHITECTURE.md.
 """
 
 from __future__ import annotations

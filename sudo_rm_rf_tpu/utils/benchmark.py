@@ -177,20 +177,25 @@ def benchmark_model(
             params = jax.tree.map(lambda a: a.astype(cdt), params)
             x = x.astype(cdt)
 
+        # params ride in the loop carry as traced ARGUMENTS — closing over
+        # them would embed megabytes of weight constants in the compile
+        # request, which overflows the axon relay's body limit (HTTP 413)
+        # for the bigger models
         def step(carry):
-            y = fwd(params, carry)
+            p, c = carry
+            y = fwd(p, c)
             return (
-                jnp.sum(y, axis=1, keepdims=True).astype(carry.dtype) * 0.1
-                + x * 0.9
+                p,
+                jnp.sum(y, axis=1, keepdims=True).astype(c.dtype) * 0.1
+                + x * 0.9,
             )
 
         try:
-            secs = timed_loop(step, x, n_hi=n_hi)
+            secs = timed_loop(step, (params, x), n_hi=n_hi)
         except Exception:
-            # the fori chain can exceed the remote-compile body limit for
-            # very large unrolled programs (attentive v3) — host-chain it
+            # last resort for programs past the relay limit even as args
             result["timing"] = "host_chained"
-            secs = timed_loop_host(step, x, n_hi=n_hi)
+            secs = timed_loop_host(step, (params, x), n_hi=n_hi)
         fl = flops_of(fwd, params, x)
     else:  # backward: loss grad + sgd-style update as the timed unit
         from sudo_rm_rf_tpu.losses import pit_neg_sdr_loss
@@ -254,5 +259,5 @@ def reference_model_zoo():
             upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
             num_sources=2, scan_blocks=True,
         ),
-        "sepformer": lambda: models.get_model("sepformer"),
+        "sepformer": lambda: models.get_model("sepformer", scan_layers=True),
     }

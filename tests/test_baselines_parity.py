@@ -238,3 +238,24 @@ def test_sepformer_alt_block_forward(kind):
     y = np.asarray(jm.apply({"params": params}, jnp.array(x)))
     assert y.shape == (2, 2, 1600)
     assert np.isfinite(y).all()
+
+
+def test_sepformer_scan_layers_parity():
+    """scan_layers=True (lax.scan over stacked encoder layers) matches the
+    unrolled SepFormer exactly after stack_sepformer_params conversion."""
+    from sudo_rm_rf_tpu.models.baselines.sepformer import (
+        SepFormer, stack_sepformer_params)
+
+    hp = dict(encoder_kernel_size=16, encoder_out_nchannels=16,
+              masknet_chunksize=20, masknet_numlayers=2, masknet_numspks=2,
+              intra_numlayers=2, inter_numlayers=2, intra_nhead=4,
+              inter_nhead=4, intra_dffn=32, inter_dffn=32)
+    m_unr = SepFormer(**hp)
+    m_scan = SepFormer(**hp, scan_layers=True)
+    x = np.random.default_rng(34).standard_normal((2, 1, 1600)).astype(np.float32)
+    params = m_unr.init(jax.random.key(0), jnp.array(x))["params"]
+    want = np.asarray(m_unr.apply({"params": params}, jnp.array(x)))
+    stacked = stack_sepformer_params(params, numlayers=2,
+                                     intra_numlayers=2, inter_numlayers=2)
+    got = np.asarray(m_scan.apply({"params": stacked}, jnp.array(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
