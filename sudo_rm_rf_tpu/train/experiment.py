@@ -15,6 +15,7 @@ Each epoch: train -> validate each val set -> report mean/std -> audio log
 
 from __future__ import annotations
 
+import glob
 import os
 import time
 from typing import Dict, Optional
@@ -247,7 +248,8 @@ def run_experiment(
             if last_batch is not None and epoch % log_audio_every == 0:
                 audio_logger.log_batch(
                     np.asarray(last_batch[0]), np.asarray(last_batch[1]),
-                    np.asarray(last_batch[2]), step=epoch, tag=val_name,
+                    np.asarray(last_batch[2]), experiment=logger,
+                    step=epoch, tag=val_name,
                 )
 
         res_dic = report_losses_mean_and_std(res_dic, logger, epoch, epoch)
@@ -263,9 +265,15 @@ def run_experiment(
             (k for k in res_dic if k.startswith("val") and "_SISDR" in k), None
         )
         if best_key is not None:
-            ckpt.save_if_best(
+            if ckpt.save_if_best(
                 state, best_key, res_dic[best_key]["mean"], epoch + 1
-            )
+            ):
+                # model-asset upload of the new best snapshot
+                # (`dprnn.py:497-516` uploads best .pt files to comet)
+                best = glob.glob(os.path.join(ckpt.directory, "best_*"))
+                for p in best:
+                    if not p.endswith(".json"):
+                        logger.log_asset(p)
         for metric, vals in res_dic.items():
             if vals["acc"]:
                 logger.log_metric_array(metric, vals["acc"], epoch + 1)

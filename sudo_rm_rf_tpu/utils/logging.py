@@ -109,6 +109,18 @@ class ExperimentLogger:
             with ctx():
                 self._comet.log_metrics(metrics, step=step)
 
+    def log_audio(self, path: str, sample_rate: int = 8000, step: int = 0):
+        """Upload a wav to the attached backend (`cometml_log_audio.py:50-70`
+        uploads every dumped wav; local files are the primary record)."""
+        if self._comet is not None:
+            self._comet.log_audio(path, sample_rate=sample_rate, step=step)
+
+    def log_asset(self, path: str, overwrite: bool = True):
+        """Upload an arbitrary artifact — e.g. the best-model checkpoint
+        (the reference uploads model .pt files, `dprnn.py:497-516`)."""
+        if self._comet is not None:
+            self._comet.log_asset(path, overwrite=overwrite)
+
     def log_metric_array(self, name: str, values, epoch: int):
         """Raw per-sample metric arrays, epoch_<n>.npy per metric dir
         (`metrics_logger.py:24-48`)."""

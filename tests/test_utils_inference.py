@@ -85,6 +85,54 @@ def test_experiment_logger(tmp_path):
     np.testing.assert_array_equal(arr, np.arange(5.0))
 
 
+class _FakeComet:
+    """Records the upload surface the reference exercises
+    (`cometml_log_audio.py:50-70` audio, `dprnn.py:497-516` model assets)."""
+
+    def __init__(self):
+        self.audio, self.assets, self.metrics = [], [], []
+
+    def log_audio(self, path, sample_rate=8000, step=0):
+        self.audio.append((path, sample_rate, step))
+
+    def log_asset(self, path, overwrite=True):
+        self.assets.append(path)
+
+    def log_metrics(self, metrics, step=0):
+        self.metrics.append((dict(metrics), step))
+
+    def train(self):
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    validate = train
+
+    def end(self):
+        pass
+
+
+def test_experiment_logger_comet_uploads(tmp_path):
+    """log_audio / log_asset pass through to an attached comet backend and
+    are no-ops without one."""
+    logger = ExperimentLogger(str(tmp_path), "exp_up")
+    logger.log_audio("x.wav", 8000, 1)  # no backend: must not raise
+    logger.log_asset("m.ckpt")
+
+    fake = _FakeComet()
+    logger._comet = fake
+    logger.log_audio("x.wav", 16000, 2)
+    logger.log_asset("m.ckpt")
+    assert fake.audio == [("x.wav", 16000, 2)] and fake.assets == ["m.ckpt"]
+
+    # AudioLogger uploads every dumped wav through the logger
+    alog = AudioLogger(str(tmp_path / "audio"), fs=8000, n_sources=2)
+    pr = np.zeros((1, 2, 160), np.float32)
+    alog.log_batch(pr, pr, pr.sum(1), experiment=logger, step=1, tag="val")
+    assert len(fake.audio) == 1 + 5  # mixture + 2 true + 2 est
+    logger.close()
+
+
 def test_report_losses_mean_and_std():
     res = {"tr_loss": {"acc": [1.0, 2.0, 3.0]}, "val_SISDRi": {"acc": [10.0, 12.0]}}
     out = report_losses_mean_and_std(res)
