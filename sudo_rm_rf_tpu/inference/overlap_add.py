@@ -14,7 +14,10 @@ XLA. Here:
   * source permutations are re-aligned between consecutive chunks by
     maximizing overlap correlation (PIT models may swap source order
     chunk-to-chunk);
-  * chunks are blended with a Hann window (COLA at 50% hop).
+  * chunks are blended with a Hann window (COLA at 50% hop);
+  * with a device mesh, chunk batches are sharded over the ``data`` axis —
+    multi-chip serving of one long recording (the reference's serving story
+    is single-GPU only).
 """
 
 from __future__ import annotations
@@ -42,6 +45,9 @@ class OverlapAddSeparator:
       batch_chunks: chunks processed per device step (static batch).
       mixture_consistency: optional 'uniform'/'magsq' projection per chunk
         (applied for GroupComm models per `README.md:111-114`).
+      mesh: optional jax.sharding.Mesh; chunk batches are sharded over its
+        ``data`` axis (params replicated), so one long recording is served
+        by all chips. batch_chunks is rounded up to a mesh multiple.
     """
 
     def __init__(
@@ -54,6 +60,7 @@ class OverlapAddSeparator:
         mixture_consistency: Optional[str] = None,
         input_normalize: bool = True,
         forward_fn: Optional[Callable] = None,
+        mesh=None,
     ):
         """forward_fn(params, (B,1,T)) -> (B,S,T) overrides model.apply —
         e.g. models.fast_inference.improved_forward_fast with impl='fma'."""
@@ -65,13 +72,18 @@ class OverlapAddSeparator:
         self.chunk = int(chunk_samples)
         self.hop = self.chunk // 2
         self.num_sources = num_sources
+        self.mesh = mesh
+        if mesh is not None:
+            from sudo_rm_rf_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            batch_chunks = -(-batch_chunks // n_data) * n_data
         self.batch_chunks = batch_chunks
         self.window = _hann(self.chunk).astype(np.float32)
         self.input_normalize = input_normalize
         self.mixture_consistency = mixture_consistency
         self._perms = list(itertools.permutations(range(num_sources)))
 
-        @jax.jit
         def _forward(params, chunks):  # (B, chunk)
             x = chunks
             if self.input_normalize:
@@ -90,7 +102,21 @@ class OverlapAddSeparator:
             # de-standardize back to the input scale (`README.md:108-109`)
             return est * std[:, None, :] + mean[:, None, :]
 
-        self._forward = _forward
+        if mesh is None:
+            self._forward = jax.jit(_forward)
+        else:
+            from sudo_rm_rf_tpu.parallel.mesh import (
+                batch_sharding, replicated_sharding,
+            )
+
+            # params replicated, chunk batch split over the data axis;
+            # results gathered back replicated for the host-side blend.
+            self._forward = jax.jit(
+                _forward,
+                in_shardings=(replicated_sharding(mesh),
+                              batch_sharding(mesh, ndim=2)),
+                out_shardings=replicated_sharding(mesh),
+            )
 
     def _run_chunks(self, frames: np.ndarray) -> np.ndarray:
         """(n_chunks, chunk) -> (n_chunks, S, chunk), batched at a static size."""

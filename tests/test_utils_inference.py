@@ -157,6 +157,33 @@ class _EchoSeparator(nn.Module):
         return jnp.concatenate([x * dummy, -x * dummy], axis=1)
 
 
+def test_overlap_add_mesh_sharded_matches_single_device():
+    """DP serving: chunk batches sharded over the 8-device data axis must
+    reproduce the unsharded separator exactly."""
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.parallel import make_mesh
+
+    model = models.get_model(
+        "relu", out_channels=16, in_channels=32, num_blocks=1,
+        upsampling_depth=3, enc_kernel_size=17, enc_num_basis=16,
+        num_sources=2,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 800)))["params"]
+    mixture = np.random.default_rng(3).standard_normal(11 * 400 + 57).astype(
+        np.float32
+    )
+
+    base = OverlapAddSeparator(model, params, chunk_samples=800,
+                               num_sources=2, batch_chunks=8)
+    sharded = OverlapAddSeparator(model, params, chunk_samples=800,
+                                  num_sources=2, batch_chunks=5,  # rounds to 8
+                                  mesh=make_mesh())
+    assert sharded.batch_chunks == 8
+    np.testing.assert_allclose(
+        sharded.separate(mixture), base.separate(mixture), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_overlap_add_reconstructs_exactly():
     model = _EchoSeparator()
     params = model.init(jax.random.key(0), jnp.zeros((1, 1, 8)))["params"]
