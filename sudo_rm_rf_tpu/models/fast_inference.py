@@ -34,7 +34,7 @@ from sudo_rm_rf_tpu.ops.pallas.uconv import (
     jax.jit,
     static_argnames=("num_blocks", "upsampling_depth", "enc_kernel_size",
                      "num_sources", "use_pallas", "interpret", "impl",
-                     "compute_dtype"),
+                     "compute_dtype", "tp_mesh"),
 )
 def improved_forward_fast(
     params: dict,
@@ -47,6 +47,7 @@ def improved_forward_fast(
     interpret: bool = False,
     impl: str = None,
     compute_dtype: str = None,
+    tp_mesh=None,
 ) -> jax.Array:
     """params: the flax 'params' tree of SuDORMRFImproved. x: (B, 1|-, T).
 
@@ -58,6 +59,12 @@ def improved_forward_fast(
     compute_dtype: e.g. 'bfloat16' for half-bandwidth serving — norm
     statistics stay fp32, output is cast back to fp32 (fidelity gated in
     tests and reported by bench.py).
+
+    tp_mesh: optional jax.sharding.Mesh with a 'model' axis — tensor
+    parallelism: block activations carry a channel-dim sharding constraint
+    and GSPMD shards the per-channel ladder across chips, inserting GlobLN
+    psums and proj/res matmul collectives (requires impl='fma'). Compose
+    with a data axis for DP x TP serving of one jitted call.
     """
     if input_wav.ndim == 2:
         input_wav = input_wav[:, None, :]
@@ -85,13 +92,27 @@ def improved_forward_fast(
 
     if impl is None:
         impl = "pallas" if use_pallas else "fma"
+    constrain = None
+    if tp_mesh is not None:
+        if impl != "fma":
+            raise ValueError("tp_mesh requires impl='fma'")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sudo_rm_rf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        _ch_sh = NamedSharding(tp_mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+        def constrain(v):
+            return jax.lax.with_sharding_constraint(v, _ch_sh)
+
+        x = constrain(x)
     for i in range(num_blocks):
         kp = params_from_flax(params[f"sm_{i}"])
         if impl == "pallas":
             x = fused_uconv_block(x, kp, depth=upsampling_depth,
                                   interpret=interpret)
         elif impl == "fma":
-            x = uconv_block_fma(x, kp, upsampling_depth)
+            x = uconv_block_fma(x, kp, upsampling_depth, constrain=constrain)
         else:
             x = uconv_block_reference(x, kp, upsampling_depth)
 

@@ -80,7 +80,7 @@ def uconv_block_reference(x, params, depth: int):
     return out + x
 
 
-def uconv_block_fma(x, params, depth: int):
+def uconv_block_fma(x, params, depth: int, constrain=None):
     """Pure-XLA block with the kernel's algebraic optimizations.
 
     Same math as uconv_block_reference but: depthwise convs as 5 shifted
@@ -88,10 +88,18 @@ def uconv_block_fma(x, params, depth: int):
     avoiding its generic depthwise-conv lowering), and each GlobLN folded
     into the next conv's input as per-channel (a, b) constants, eliminating
     one full read/write pass per ladder level. Differentiable (pure jnp).
+
+    constrain: optional fn (B, C, T) -> (B, C, T) inserting a sharding
+    constraint on the channel dim — tensor parallelism over a mesh 'model'
+    axis (GSPMD then shards the ladder per-channel and inserts the GlobLN
+    psum and the proj/res matmul collectives automatically).
     """
+    if constrain is None:
+        constrain = lambda v: v
     b, co, t = x.shape
     ci = params["proj_w"].shape[0]
     y = jnp.einsum("co,bot->bct", params["proj_w"], x) + params["proj_b"][None, :, None]
+    y = constrain(y)
     y = ops.glob_ln(y, params["proj_g"], params["proj_beta"])
     y = jnp.where(y >= 0, y, params["proj_slope"] * y)
 
@@ -135,7 +143,7 @@ def uconv_block_fma(x, params, depth: int):
         w_k = params["dw_w"][k]
         x_in = a * cur + bb
         o = conv_s1(x_in, w_k) if k == 0 else conv_s2(x_in, w_k)
-        o = o + params["dw_b"][k][None, :, None]
+        o = constrain(o + params["dw_b"][k][None, :, None])
         mean, inv = stats(o, ci * o.shape[-1])
         g = params["dw_g"][k].astype(jnp.float32)[None, :, None]
         be = params["dw_beta"][k].astype(jnp.float32)[None, :, None]
@@ -154,7 +162,7 @@ def uconv_block_fma(x, params, depth: int):
     acc = ops.glob_ln(acc, params["final_g"], params["final_beta"])
     acc = jnp.where(acc >= 0, acc, params["final_slope"] * acc)
     out = jnp.einsum("oc,bct->bot", params["res_w"], acc) + params["res_b"][None, :, None]
-    return out + x
+    return constrain(out + x)
 
 
 # ---------------------------------------------------------------------------
