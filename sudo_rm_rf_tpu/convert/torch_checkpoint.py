@@ -116,6 +116,56 @@ def state_dict_to_params(
     return _unflatten(flat)
 
 
+def params_to_state_dict(
+    params: Mapping,
+    target_keys: Iterable[str] | None = None,
+    *,
+    to_torch: bool = False,
+) -> Dict[str, object]:
+    """Inverse conversion: a flax param tree -> a torch state_dict.
+
+    Lets models trained here be exported to the reference's torch ecosystem
+    (the published checkpoints' format, `README.md:75-98`) — checkpoint
+    interchange runs both ways.
+
+    Args:
+      target_keys: the destination torch model's ``state_dict().keys()``.
+        When given, keys are mapped exactly by matching
+        ``torch_key_to_flax_path`` over the targets (robust to attribute
+        names that legitimately end in ``_<digit>``); params with no
+        counterpart raise. Without it, a heuristic split of trailing
+        ``_<digit>`` tokens back into ``.<digit>`` indices is used.
+      to_torch: return ``torch.Tensor`` values instead of numpy.
+    """
+    import re
+
+    flat = _flatten(params)
+    out: Dict[str, np.ndarray] = {}
+    if target_keys is not None:
+        by_path = {torch_key_to_flax_path(k): k for k in target_keys}
+        missing = sorted(set(flat) - set(by_path))
+        if missing:
+            raise ValueError(f"no torch key for params: {missing[:10]}")
+        for path, arr in flat.items():
+            out[by_path[path]] = np.asarray(arr)
+    else:
+        for path, arr in flat.items():
+            toks: list[str] = []
+            for tok in path:
+                m = re.fullmatch(r"(.+?)_(\d+)", tok)
+                if m:
+                    toks.extend((m.group(1), m.group(2)))
+                else:
+                    toks.append(tok)
+            out[".".join(toks)] = np.asarray(arr)
+
+    if to_torch:
+        import torch
+
+        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in out.items()}
+    return out
+
+
 def load_pt_file(path: str, reference_root: str | None = None):
     """Load a ``.pt`` file into a (state_dict, attrs) pair.
 

@@ -172,3 +172,54 @@ def test_registry_dispatch():
     assert isinstance(m, models.GroupCommSuDORMRF)
     with pytest.raises(KeyError):
         models.get_model("nope")
+
+
+def test_flax_to_torch_export_roundtrip():
+    """params_to_state_dict: a flax-trained model exports into the torch
+    reference and reproduces the flax forward — checkpoint interchange runs
+    both ways (torch users can consume models trained here)."""
+    from sudo_rm_rf.dnn.models import improved_sudormrf as ref
+    from sudo_rm_rf_tpu.convert import params_to_state_dict
+
+    jax_model = models.SuDORMRFImproved(**HP)
+    x = np.random.default_rng(7).standard_normal((2, 1, 661)).astype(np.float32)
+    params = jax_model.init(jax.random.key(3), jnp.array(x))["params"]
+    got = np.asarray(jax_model.apply({"params": params}, jnp.array(x)))
+
+    torch_model = ref.SuDORMRF(**HP).eval()
+    sd = params_to_state_dict(
+        params, target_keys=torch_model.state_dict().keys(), to_torch=True
+    )
+    torch_model.load_state_dict(sd, strict=True)
+    with torch.no_grad():
+        want = torch_model(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # heuristic path (no target keys) must round-trip through the forward
+    # converter to the identical tree
+    sd2 = params_to_state_dict(params)
+    back = state_dict_to_params(sd2, params)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flax_to_torch_export_groupcomm():
+    from sudo_rm_rf.dnn.models import groupcomm_sudormrf_v2 as ref
+    from sudo_rm_rf_tpu.convert import params_to_state_dict
+
+    hp = dict(in_audio_channels=1, out_channels=32, in_channels=64,
+              num_blocks=2, upsampling_depth=3, enc_kernel_size=21,
+              enc_num_basis=24, num_sources=2, group_size=4)
+    jax_model = models.GroupCommSuDORMRF(**hp)
+    x = np.random.default_rng(8).standard_normal((2, 1, 661)).astype(np.float32)
+    params = jax_model.init(jax.random.key(4), jnp.array(x))["params"]
+    got = np.asarray(jax_model.apply({"params": params}, jnp.array(x)))
+
+    torch_model = ref.GroupCommSudoRmRf(**hp).eval()
+    sd = params_to_state_dict(
+        params, target_keys=torch_model.state_dict().keys(), to_torch=True
+    )
+    torch_model.load_state_dict(sd, strict=True)
+    with torch.no_grad():
+        want = torch_model(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
