@@ -67,19 +67,14 @@ def main(argv=None):
             sd, shapes["params"], ignore_unused=("ln_mask_in",)
         )
     else:
-        import flax.serialization
+        from sudo_rm_rf_tpu.convert.flax_checkpoint import (
+            load_params_from_checkpoint,
+        )
 
         model = models.get_model(args.model_type, **hp)
         chunk = int(args.chunk_seconds * args.fs)
         params = model.init(jax.random.key(0), jnp.zeros((1, 1, chunk)))["params"]
-        with open(args.checkpoint, "rb") as fh:
-            blob = fh.read()
-        try:
-            params = flax.serialization.from_bytes(params, blob)
-        except Exception:
-            # a full TrainState checkpoint: pull its params subtree
-            state = flax.serialization.msgpack_restore(blob)
-            params = flax.serialization.from_state_dict(params, state["params"])
+        params = load_params_from_checkpoint(args.checkpoint, params)
 
     for path in args.input:
         outs = separate_file(

@@ -162,7 +162,12 @@ def params_to_state_dict(
     if to_torch:
         import torch
 
-        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in out.items()}
+        # copy() guarantees an owned, writable buffer (jax arrays are
+        # read-only views; torch warns on from_numpy over those)
+        return {
+            k: torch.from_numpy(np.ascontiguousarray(v).copy())
+            for k, v in out.items()
+        }
     return out
 
 

@@ -230,3 +230,42 @@ def test_evaluate_cli_full_length(tmp_path):
         "--root_dirpath", str(tmp_path),
     ])
     assert rc == 0
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """sudo-tpu-export: msgpack checkpoint -> torch .pt, strict-verified
+    against the reference architecture, reproducing the flax forward."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.cli.export import main as export_main
+    from sudo_rm_rf_tpu.utils.checkpoint import CheckpointManager
+
+    hp = dict(out_channels=16, in_channels=32, num_blocks=2,
+              upsampling_depth=3, enc_kernel_size=21, enc_num_basis=24,
+              num_sources=2)
+    model = models.get_model("relu", **hp)
+    x = np.random.default_rng(11).standard_normal((1, 1, 661)).astype(np.float32)
+    params = model.init(jax.random.key(9), jnp.asarray(x))["params"]
+    ckpt = CheckpointManager(str(tmp_path), "m")
+    path = ckpt.save(params, "m_params")
+
+    out_pt = str(tmp_path / "exported.pt")
+    rc = export_main([
+        "--checkpoint", path, "--out", out_pt, "--model_type", "relu",
+        "--out_channels", "16", "--in_channels", "32", "--num_blocks", "2",
+        "--upsampling_depth", "3", "--enc_num_basis", "24",
+        "--reference_root", "/root/reference",
+    ])
+    assert rc == 0
+
+    from sudo_rm_rf.dnn.models import improved_sudormrf as ref
+
+    tm = ref.SuDORMRF(**hp).eval()
+    tm.load_state_dict(torch.load(out_pt, weights_only=True), strict=True)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
