@@ -20,7 +20,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--model_type", default="relu")
     p.add_argument("--dataset", default="WHAMR",
-                   choices=["WHAM", "WHAMR", "LIBRI2MIX", "FUSS"])
+                   choices=["WHAM", "WHAMR", "LIBRI2MIX", "FUSS",
+                            "AUGMENTED"])
+    p.add_argument("--dataset_paths", nargs="+", default=[],
+                   help="hierarchical corpus roots (AUGMENTED only)")
     p.add_argument("--split", default="test")
     p.add_argument("--separation_task", default="sep_clean")
     p.add_argument("-fs", type=int, default=8000)
@@ -76,25 +79,40 @@ def main(argv=None):
         params = state_dict_to_params(sd, shapes["params"],
                                       ignore_unused=("ln_mask_in",))
     else:
-        import flax.serialization
+        from sudo_rm_rf_tpu.convert.flax_checkpoint import (
+            load_params_from_checkpoint,
+        )
 
         model = models.get_model(args.model_type, **hp)
         params = model.init(jax.random.key(0), jnp.zeros((1, 1, t)))["params"]
-        with open(args.checkpoint, "rb") as fh:
-            blob = fh.read()
-        try:
-            params = flax.serialization.from_bytes(params, blob)
-        except Exception:
-            state = flax.serialization.msgpack_restore(blob)
-            params = flax.serialization.from_state_dict(params, state["params"])
+        params = load_params_from_checkpoint(args.checkpoint, params)
 
-    dataset = create_loader_for_simple_dataset(
-        dataset_name=args.dataset, separation_task=args.separation_task,
-        data_split=args.split, sample_rate=args.fs, min_or_max=args.min_or_max,
-        zero_pad=True,
-        timelength=-1.0 if args.full_length else args.timelength,
-        n_samples=args.n_samples, root_dirpath=args.root_dirpath,
-    )
+    if args.dataset == "AUGMENTED":
+        # evaluate on a hierarchical online-mixing corpus (fixed seed:
+        # the mixtures are deterministic, so results are comparable
+        # across checkpoints)
+        from sudo_rm_rf_tpu.data.setup import create_augmented_loader
+
+        if not args.dataset_paths:
+            raise SystemExit("--dataset_paths is required with AUGMENTED")
+        dataset = create_augmented_loader(
+            {
+                f"{args.split}_dataset_paths": list(args.dataset_paths),
+                f"n_{args.split}": args.n_samples or 1000,
+                "fs": args.fs,
+                "audio_timelength": args.timelength,
+                "n_sources": args.num_sources,
+            },
+            split=args.split,
+        )
+    else:
+        dataset = create_loader_for_simple_dataset(
+            dataset_name=args.dataset, separation_task=args.separation_task,
+            data_split=args.split, sample_rate=args.fs,
+            min_or_max=args.min_or_max, zero_pad=True,
+            timelength=-1.0 if args.full_length else args.timelength,
+            n_samples=args.n_samples, root_dirpath=args.root_dirpath,
+        )
     loader = dataset.get_generator(
         batch_size=1 if args.full_length else args.batch_size,
         shuffle=False, num_workers=2,

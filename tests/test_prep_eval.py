@@ -269,3 +269,47 @@ def test_export_cli_roundtrip(tmp_path):
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_evaluate_cli_augmented(tmp_path):
+    """AUGMENTED mode: evaluate over a hierarchical online-mixing corpus
+    (deterministic fixed-seed mixtures)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.serialization
+
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.cli.evaluate import main
+    from sudo_rm_rf_tpu.prep.hierarchical import _dump_sample
+
+    rng = np.random.default_rng(5)
+    for spk in range(3):
+        for utt in range(2):
+            _dump_sample(
+                str(tmp_path / "corpus" / f"c{spk}" / f"u{utt}"),
+                rng.standard_normal(SR * 2).astype(np.float32),
+            )
+
+    model = models.SuDORMRFImproved(
+        out_channels=16, in_channels=32, num_blocks=1, upsampling_depth=2,
+        enc_kernel_size=21, enc_num_basis=16, num_sources=2,
+    )
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, SR)))["params"]
+    ckpt = tmp_path / "model.msgpack"
+    ckpt.write_bytes(flax.serialization.to_bytes(params))
+
+    out_pickle = tmp_path / "res.pkl"
+    rc = main([
+        "--checkpoint", str(ckpt), "--model_type", "relu",
+        "--dataset", "AUGMENTED", "--dataset_paths",
+        str(tmp_path / "corpus"), "--split", "test", "-fs", str(SR),
+        "--timelength", "1.0", "--batch_size", "2", "--n_samples", "4",
+        "--out_channels", "16", "--in_channels", "32", "--num_blocks", "1",
+        "--upsampling_depth", "2", "--enc_num_basis", "16",
+        "--out_pickle", str(out_pickle),
+    ])
+    assert rc == 0
+    import pickle
+
+    res = pickle.load(open(out_pickle, "rb"))
+    assert len(res["si_sdri"]) == 4 and all(np.isfinite(res["si_sdri"]))
