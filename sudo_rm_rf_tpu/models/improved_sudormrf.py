@@ -162,6 +162,22 @@ class _ConvNormActParams(nn.Module):
         return w, b, g, be, slope
 
 
+def _channel_constrain(mesh):
+    """(B, C, T) channel-dim sharding constraint over mesh axes, or None."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sudo_rm_rf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    sh = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+    def constrain(v):
+        return jax.lax.with_sharding_constraint(v, sh)
+
+    return constrain
+
+
 class UConvBlockFMA(nn.Module):
     """UConvBlock computed via the shifted-FMA + folded-GlobLN formulation
     (ops.pallas.uconv.uconv_block_fma; ~1.7x the conv lowering on TPU,
@@ -171,6 +187,10 @@ class UConvBlockFMA(nn.Module):
     out_channels: int = 128
     in_channels: int = 512
     upsampling_depth: int = 4
+    # optional Mesh: channel-dim sharding constraints -> GSPMD compute
+    # tensor parallelism over the 'model' axis (fwd AND bwd; the constraint
+    # is differentiable). None = no constraint.
+    tp_mesh: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -202,7 +222,8 @@ class UConvBlockFMA(nn.Module):
             "final_g": fg, "final_beta": fbe, "final_slope": fslope[0],
             "res_w": rw[:, :, 0], "res_b": rb,
         }
-        return uconv_block_fma(x, kp, self.upsampling_depth)
+        return uconv_block_fma(x, kp, self.upsampling_depth,
+                               constrain=_channel_constrain(self.tp_mesh))
 
 
 class SuDORMRFImproved(nn.Module):
@@ -221,6 +242,9 @@ class SuDORMRFImproved(nn.Module):
     enc_num_basis: int = 512
     num_sources: int = 2
     block_impl: str = "xla"
+    # compute tensor parallelism (requires block_impl='fma'): see
+    # UConvBlockFMA.tp_mesh
+    tp_mesh: object = None
     # rematerialize block activations in backward (jax.checkpoint): trades
     # ~1 extra forward for O(num_blocks) less activation memory — lets
     # U36/4096-class configs train at batch sizes where the reference OOMs
@@ -254,6 +278,11 @@ class SuDORMRFImproved(nn.Module):
         x = Conv1d(self.enc_num_basis, self.out_channels, 1, name="bottleneck")(x)
 
         block_cls = UConvBlockFMA if self.block_impl == "fma" else UConvBlock
+        if self.tp_mesh is not None and self.block_impl != "fma":
+            raise ValueError("tp_mesh requires block_impl='fma'")
+        block_kw = (
+            {"tp_mesh": self.tp_mesh} if self.block_impl == "fma" else {}
+        )
         if self.remat_blocks:
             block_cls = nn.remat(block_cls)
         for i in range(self.num_blocks):
@@ -262,6 +291,7 @@ class SuDORMRFImproved(nn.Module):
                 in_channels=self.in_channels,
                 upsampling_depth=self.upsampling_depth,
                 name=f"sm_{i}",
+                **block_kw,
             )(x)
 
         x = PReLU(name="mask_net_0")(x)

@@ -204,6 +204,45 @@ def test_tensor_parallel_matches_replicated():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_compute_tp_training_matches_replicated():
+    """Compute TP (activation channel sharding, block_impl='fma'): a
+    (data=2, model=4) train step reproduces the replicated step — GSPMD
+    shards the ladder compute and the constraint is grad-transparent."""
+    src = _sources(b=8, t=1024, seed=17)
+    prepare = lambda key, b: (b.sum(1, keepdims=True), b)
+
+    tp_mesh = make_mesh(n_model=4)
+    results = {}
+    for name, (model, mesh, shard) in {
+        "tp": (models.SuDORMRFImproved(**TINY, block_impl="fma",
+                                       tp_mesh=tp_mesh), tp_mesh, True),
+        "repl": (models.SuDORMRFImproved(**TINY, block_impl="fma"),
+                 make_mesh(devices=jax.devices()[:1]), False),
+    }.items():
+        trainer = Trainer(model, TrainerConfig(shard_params=shard),
+                          prepare_batch=prepare, mesh=mesh)
+        state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+        for i in range(2):
+            state, m = trainer.train_step(state, jnp.array(src),
+                                          jax.random.key(i))
+        results[name] = (
+            float(m["loss"]),
+            jax.tree.map(np.asarray, jax.device_get(state.params)),
+        )
+
+    assert results["tp"][0] == pytest.approx(results["repl"][0], abs=1e-4)
+    for a, b in zip(jax.tree.leaves(results["tp"][1]),
+                    jax.tree.leaves(results["repl"][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_impl='fma'"):
+        models.SuDORMRFImproved(**TINY, tp_mesh=tp_mesh).init(
+            jax.random.key(0), jnp.zeros((1, 1, 1024))
+        )
+
+
 def test_training_is_deterministic_given_seeds():
     """Explicit-key RNG threading: identical seeds -> bitwise-identical
     training (the framework's answer to the reference's time-seeded
