@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss_clamp", type=float, default=30.0)
     p.add_argument("--mixture_consistency", type=str, default=None,
                    choices=[None, "uniform", "magsq"])
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="mixed-precision fwd/bwd compute dtype (fp32 "
+                        "master params); bfloat16 is the fastest measured "
+                        "training mode")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="mesh model-axis size (>1: storage TP; + compute "
+                        "TP for fma improved models)")
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="microbatches per optimizer step (large effective "
                         "batches beyond device memory)")
@@ -157,6 +165,8 @@ def args_to_config(args) -> ExperimentConfig:
         mixture_consistency=args.mixture_consistency,
         optimizer=args.optimizer,
         grad_accum_steps=args.grad_accum_steps,
+        compute_dtype=args.compute_dtype,
+        n_model=args.n_model,
         save_checkpoint_every=args.save_checkpoint_every,
         checkpoints_path=args.checkpoints_path,
         seed=args.seed,

@@ -89,7 +89,7 @@ class ModelConfig:
     scan_blocks: bool = False
 
 
-    def build(self):
+    def build(self, tp_mesh=None):
         from sudo_rm_rf_tpu import models
 
         kwargs = dict(
@@ -104,6 +104,8 @@ class ModelConfig:
         if self.model_type in ("relu", "improved"):
             kwargs.update(block_impl=self.block_impl,
                           remat_blocks=self.remat_blocks)
+            if tp_mesh is not None:
+                kwargs.update(tp_mesh=tp_mesh)
         if self.model_type == "groupcomm_v2":
             kwargs.update(group_size=self.group_size,
                           in_audio_channels=self.in_audio_channels)
@@ -156,6 +158,13 @@ class TrainConfig:
     mixture_consistency: Optional[str] = None
     optimizer: str = "adam"  # 'adam' | 'radam_cosine'
     grad_accum_steps: int = 1
+    # mixed precision: fwd/bwd compute dtype (fp32 master params + loss);
+    # e.g. 'bfloat16' -- the fastest measured training mode (BENCHMARKS.md)
+    compute_dtype: Optional[str] = None
+    # mesh model-axis size (1 = pure DP). >1 shards large params over the
+    # model axis (storage TP) and, for block_impl='fma' improved models,
+    # enables compute TP via activation sharding constraints.
+    n_model: int = 1
     save_checkpoint_every: int = 10
     checkpoints_path: str = field(default_factory=lambda: paths.checkpoints)
     seed: int = 0

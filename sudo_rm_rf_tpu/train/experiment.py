@@ -123,7 +123,29 @@ def run_experiment(
                                   tags=list(config.tags))
     logger.log_parameters(config.hparams())
 
-    model = config.model.build()
+    # mesh first (the model may need it for compute TP), sized so the
+    # configured batch divides the data axis
+    import math as _math
+
+    from sudo_rm_rf_tpu.parallel import make_mesh
+
+    n_model = max(config.train.n_model, 1)
+    avail = len(jax.devices()) // n_model
+    if avail < 1:
+        raise ValueError(
+            f"n_model={n_model} exceeds {len(jax.devices())} devices"
+        )
+    n_data = _math.gcd(config.data.batch_size, avail)
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+
+    tp_mesh = (
+        mesh
+        if n_model > 1
+        and config.model.model_type in ("relu", "improved")
+        and config.model.block_impl == "fma"
+        else None
+    )
+    model = config.model.build(tp_mesh=tp_mesh)
     prepare, loss_fn = _make_recipe(config)
     dataset = config.data.train[0] if config.data.train else "WHAM"
     mixture_consistency = config.train.mixture_consistency
@@ -132,13 +154,6 @@ def run_experiment(
         # mixture, in train and val (`run_fuss_separation.py:252,297-300`)
         mixture_consistency = "uniform"
     steps_per_epoch = max(len(generators["train"]), 1)
-    # data-parallel mesh sized so the configured batch divides it
-    import math as _math
-
-    from sudo_rm_rf_tpu.parallel import make_mesh
-
-    n_data = _math.gcd(config.data.batch_size, len(jax.devices()))
-    mesh = make_mesh(n_data=n_data)
     trainer = Trainer(
         model,
         TrainerConfig(
@@ -152,6 +167,8 @@ def run_experiment(
             optimizer=config.train.optimizer,
             grad_accum_steps=config.train.grad_accum_steps,
             total_steps=max(config.train.n_epochs * steps_per_epoch, 1),
+            compute_dtype=config.train.compute_dtype,
+            shard_params=n_model > 1,
         ),
         loss_fn=loss_fn,
         prepare_batch=prepare,

@@ -52,6 +52,33 @@ def tiny_config(tmp_path_factory):
     return cfg
 
 
+def test_run_experiment_bf16_tp_mesh(tiny_config, tmp_path):
+    """--compute_dtype bfloat16 and --n_model 2 reach the trainer through
+    the experiment config: mixed-precision training over a (data, model)
+    mesh with compute TP on the fma blocks."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        model=dataclasses.replace(tiny_config.model, block_impl="fma"),
+        train=dataclasses.replace(
+            tiny_config.train, n_epochs=1, compute_dtype="bfloat16",
+            n_model=2, checkpoints_path=str(tmp_path / "ck"),
+        ),
+        experiment_name="tiny_bf16_tp",
+    )
+    from sudo_rm_rf_tpu.train.experiment import run_experiment
+    from sudo_rm_rf_tpu.utils import ExperimentLogger
+
+    logger = ExperimentLogger(str(tmp_path), "tiny_bf16_tp")
+    state, history = run_experiment(cfg, logger=logger)
+    assert np.isfinite(history[-1]["tr_loss"])
+    # fp32 master params preserved under bf16 compute
+    import jax
+
+    assert all(p.dtype == np.float32 for p in jax.tree.leaves(state.params))
+
+
 def test_run_experiment_end_to_end(tiny_config, tmp_path):
     from sudo_rm_rf_tpu.train.experiment import run_experiment
     from sudo_rm_rf_tpu.utils import ExperimentLogger
@@ -128,12 +155,21 @@ def test_bench_harness_cpu():
         out_channels=16, in_channels=32, num_blocks=1, upsampling_depth=2,
         enc_kernel_size=21, enc_num_basis=16, num_sources=2,
     )
-    row = benchmark_model(model, batch_size=2, timelength=0.5, measure="forward",
-                          n_hi=6)
+    def timed_row(measure, n_hi):
+        # timed_loop differences two loop lengths; on a loaded CPU box the
+        # difference can go non-positive at tiny n_hi — retry with a longer
+        # loop rather than flaking (the harness itself is deterministic)
+        for attempt_n in (n_hi, 4 * n_hi, 16 * n_hi):
+            row = benchmark_model(model, batch_size=2, timelength=0.5,
+                                  measure=measure, n_hi=attempt_n)
+            if row["secs_per_batch"] > 0:
+                return row
+        return row
+
+    row = timed_row("forward", 6)
     assert row["secs_per_batch"] > 0
     assert row["n_params_m"] > 0
-    row_b = benchmark_model(model, batch_size=2, timelength=0.5,
-                            measure="backward", n_hi=4)
+    row_b = timed_row("backward", 4)
     assert row_b["secs_per_batch"] > 0
 
 
