@@ -225,10 +225,10 @@ def benchmark_model(
 def reference_model_zoo():
     from sudo_rm_rf_tpu import models
 
-    def sudo(blocks):
+    def sudo(blocks, bases=512):
         return models.SuDORMRFImproved(
             out_channels=256, in_channels=512, num_blocks=blocks,
-            upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
+            upsampling_depth=5, enc_kernel_size=21, enc_num_basis=bases,
             num_sources=2,
         )
 
@@ -236,6 +236,21 @@ def reference_model_zoo():
         "sudormrf_R4": lambda: sudo(4),
         "sudormrf_R8": lambda: sudo(8),
         "sudormrf_R16": lambda: sudo(16),
+        # the README's larger published configs (WSJ0-2mix row 3 and the
+        # WHAMR table, README.md:124,131,132): R16/2048 keeps out=256
+        # (param count matches 6.36M exactly); the U36 configs are wider
+        # (out=in=512 -> 23.1M / 26.5M vs the published 23.24M / 26.61M)
+        "sudormrf_R16_B2048": lambda: sudo(16, 2048),
+        "sudormrf_R36_B2048": lambda: models.SuDORMRFImproved(
+            out_channels=512, in_channels=512, num_blocks=36,
+            upsampling_depth=5, enc_kernel_size=21, enc_num_basis=2048,
+            num_sources=2,
+        ),
+        "sudormrf_R36_B4096": lambda: models.SuDORMRFImproved(
+            out_channels=512, in_channels=512, num_blocks=36,
+            upsampling_depth=5, enc_kernel_size=21, enc_num_basis=4096,
+            num_sources=2,
+        ),
         "groupcomm_R16": lambda: models.GroupCommSuDORMRF(
             out_channels=256, in_channels=512, num_blocks=16,
             upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
