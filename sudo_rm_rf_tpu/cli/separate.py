@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--num_sources", type=int, default=2)
     p.add_argument("--mixture_consistency", default=None,
                    choices=[None, "uniform", "magsq"])
+    p.add_argument("--mode", default="overlap_add",
+                   choices=["overlap_add", "seq_parallel"],
+                   help="overlap_add: COLA chunking (any model); "
+                        "seq_parallel: exact single-pass time sharding over "
+                        "all devices (model_type relu)")
     p.add_argument("--reference_root", default=None,
                    help="path that makes a whole-pickled torch module loadable")
     # model hyperparams (needed for bare state_dicts / msgpack checkpoints)
@@ -75,6 +80,45 @@ def main(argv=None):
         chunk = int(args.chunk_seconds * args.fs)
         params = model.init(jax.random.key(0), jnp.zeros((1, 1, chunk)))["params"]
         params = load_params_from_checkpoint(args.checkpoint, params)
+
+    if args.mode == "seq_parallel":
+        if args.model_type != "relu":
+            p.error("--mode seq_parallel supports model_type 'relu' "
+                    "(the improved SuDoRM-RF fma path)")
+        import os
+
+        import numpy as np
+        from scipy.io import wavfile
+
+        from sudo_rm_rf_tpu.data.base import read_wav
+        from sudo_rm_rf_tpu.inference import SequenceParallelSeparator
+
+        sep = SequenceParallelSeparator(
+            params,
+            num_blocks=hp["num_blocks"],
+            upsampling_depth=hp["upsampling_depth"],
+            enc_kernel_size=hp["enc_kernel_size"],
+            num_sources=args.num_sources,
+            mixture_consistency=args.mixture_consistency,
+        )
+        os.makedirs(args.out_dir, exist_ok=True)
+        for path in args.input:
+            sr, wav = read_wav(path)
+            if sr != args.fs:
+                raise ValueError(f"{path}: sample rate {sr} != {args.fs}")
+            est = sep.separate(wav)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            outs = []
+            for s in range(est.shape[0]):
+                out = est[s]
+                peak = np.abs(out).max()
+                if peak > 1.0:
+                    out = out / peak
+                op = os.path.join(args.out_dir, f"{stem}_s{s + 1}.wav")
+                wavfile.write(op, args.fs, (out * 32767).astype(np.int16))
+                outs.append(op)
+            print(f"{path} -> {outs}")
+        return 0
 
     for path in args.input:
         outs = separate_file(

@@ -1,3 +1,14 @@
 from sudo_rm_rf_tpu.inference.overlap_add import OverlapAddSeparator, separate_file
+from sudo_rm_rf_tpu.inference.sequence_parallel import (
+    SequenceParallelSeparator,
+    improved_forward_seq,
+    make_seq_mesh,
+)
 
-__all__ = ["OverlapAddSeparator", "separate_file"]
+__all__ = [
+    "OverlapAddSeparator",
+    "SequenceParallelSeparator",
+    "improved_forward_seq",
+    "make_seq_mesh",
+    "separate_file",
+]

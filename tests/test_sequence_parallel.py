@@ -1,0 +1,231 @@
+"""Sequence parallelism: time-sharded forward == unsharded forward.
+
+The reference has no long-input distribution story (whole-utterance bs=1
+eval, `simple_whamr_evaluation.py:138-151`); these tests pin the TPU-native
+capability: an 8-way time-sharded shard_map forward (halo exchange +
+psum'd GlobLN statistics) reproducing the single-device fast path exactly,
+including both global boundaries.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sudo_rm_rf_tpu import models
+from sudo_rm_rf_tpu.inference.sequence_parallel import (
+    SequenceParallelSeparator,
+    default_halo_frames,
+    improved_forward_seq,
+    make_seq_mesh,
+)
+from sudo_rm_rf_tpu.models.fast_inference import improved_forward_fast
+
+CFG = dict(
+    out_channels=16, in_channels=32, num_blocks=2, upsampling_depth=3,
+    enc_kernel_size=17, enc_num_basis=16, num_sources=2,
+)
+
+
+def _init():
+    model = models.SuDORMRFImproved(**CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 512)))["params"]
+    return params
+
+
+def test_seq_parallel_matches_unsharded():
+    params = _init()
+    mesh = make_seq_mesh(8)
+    stride = CFG["enc_kernel_size"] // 2
+    align = stride * 2 ** CFG["upsampling_depth"]
+    halo = default_halo_frames(CFG["num_blocks"], CFG["upsampling_depth"])
+    per = max(halo * stride, 3 * align)
+    per = -(-per // align) * align
+    t = 8 * per  # aligned for both paths: neither pads internally
+    x = np.random.default_rng(0).standard_normal((1, t)).astype(np.float32)
+
+    ref = improved_forward_fast(
+        params, jnp.asarray(x)[:, None, :],
+        num_blocks=CFG["num_blocks"],
+        upsampling_depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"],
+        num_sources=2, impl="fma",
+    )
+    out = improved_forward_seq(
+        params, jnp.asarray(x), mesh,
+        num_blocks=CFG["num_blocks"],
+        depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"],
+        num_sources=2,
+    )
+    assert out.shape == ref.shape
+    # full-array compare: interior AND both global boundaries must be exact
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_seq_parallel_batch_dim():
+    params = _init()
+    mesh = make_seq_mesh(4)
+    stride = CFG["enc_kernel_size"] // 2
+    align = stride * 2 ** CFG["upsampling_depth"]
+    halo = default_halo_frames(CFG["num_blocks"], CFG["upsampling_depth"])
+    per = -(-max(halo * stride, align) // align) * align
+    t = 4 * per
+    x = np.random.default_rng(1).standard_normal((3, t)).astype(np.float32)
+    ref = improved_forward_fast(
+        params, jnp.asarray(x)[:, None, :],
+        num_blocks=CFG["num_blocks"],
+        upsampling_depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"],
+        num_sources=2, impl="fma",
+    )
+    out = improved_forward_seq(
+        params, jnp.asarray(x), mesh,
+        num_blocks=CFG["num_blocks"], depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"], num_sources=2,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_seq_separator_arbitrary_length_matches_padded_fast_path():
+    """The separator's pad→shard→crop pipeline equals running the fast path
+    on the identically padded input (same normalization recipe)."""
+    params = _init()
+    sep = SequenceParallelSeparator(
+        params, mesh=make_seq_mesh(8),
+        num_blocks=CFG["num_blocks"],
+        upsampling_depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"],
+        num_sources=2,
+    )
+    t = 5000 + 37
+    mixture = np.random.default_rng(2).standard_normal(t).astype(np.float32)
+    est = sep.separate(mixture)
+    assert est.shape == (2, t)
+
+    mean, std = mixture.mean(), mixture.std(ddof=1)
+    xn = (mixture - mean) / (std + 1e-9)
+    total = sep._padded_len(t)
+    padded = np.zeros(total, np.float32)
+    padded[:t] = xn
+    ref = improved_forward_fast(
+        params, jnp.asarray(padded)[None, None, :],
+        num_blocks=CFG["num_blocks"],
+        upsampling_depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"],
+        num_sources=2, impl="fma",
+    )
+    ref = np.asarray(ref)[0, :, :t] * (std + 1e-9) + mean
+    # the separator de-standardizes with host float math (std not +eps'd on
+    # the multiply-back); compare in the same convention
+    ref2 = np.asarray(
+        improved_forward_fast(
+            params, jnp.asarray(padded)[None, None, :],
+            num_blocks=CFG["num_blocks"],
+            upsampling_depth=CFG["upsampling_depth"],
+            enc_kernel_size=CFG["enc_kernel_size"],
+            num_sources=2, impl="fma",
+        )
+    )[0, :, :t] * std + mean
+    np.testing.assert_allclose(est, ref2, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(ref, ref2, rtol=1e-3, atol=1e-3)
+
+
+def test_seq_separator_mixture_consistency():
+    params = _init()
+    sep = SequenceParallelSeparator(
+        params, mesh=make_seq_mesh(2),
+        num_blocks=CFG["num_blocks"],
+        upsampling_depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"],
+        num_sources=2, mixture_consistency="uniform",
+    )
+    t = 4096
+    mixture = np.random.default_rng(3).standard_normal(t).astype(np.float32)
+    mixture -= mixture.mean()  # de-standardization adds the mean back per
+    # source, so sum-to-mixture holds exactly only for zero-mean input
+    est = sep.separate(mixture)
+    assert est.shape == (2, t)
+    # uniform consistency: the de-standardized estimates sum back to the
+    # mixture up to the global pad crop
+    resid = mixture - est.sum(axis=0)
+    assert np.abs(resid).max() < 5e-3
+
+
+def test_seq_short_input_guard():
+    """Inputs shorter than one halo per shard still separate (extra pad)."""
+    params = _init()
+    sep = SequenceParallelSeparator(
+        params, mesh=make_seq_mesh(8),
+        num_blocks=CFG["num_blocks"],
+        upsampling_depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"], num_sources=2,
+    )
+    mixture = np.random.default_rng(4).standard_normal(777).astype(np.float32)
+    est = sep.separate(mixture)
+    assert est.shape == (2, 777)
+    assert np.isfinite(est).all()
+
+
+def test_default_halo_covers_receptive_field():
+    """Shrinking the halo below the receptive field must break exactness —
+    evidence the default is load-bearing, not slack."""
+    params = _init()
+    mesh = make_seq_mesh(8)
+    stride = CFG["enc_kernel_size"] // 2
+    align = stride * 2 ** CFG["upsampling_depth"]
+    halo = default_halo_frames(CFG["num_blocks"], CFG["upsampling_depth"])
+    per = -(-max(halo * stride, 3 * align) // align) * align
+    t = 8 * per
+    x = np.random.default_rng(5).standard_normal((1, t)).astype(np.float32)
+    ref = np.asarray(improved_forward_fast(
+        params, jnp.asarray(x)[:, None, :],
+        num_blocks=CFG["num_blocks"],
+        upsampling_depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"], num_sources=2, impl="fma",
+    ))
+    tiny_halo = 2 ** (CFG["upsampling_depth"] - 1)
+    out = np.asarray(improved_forward_seq(
+        params, jnp.asarray(x), mesh,
+        num_blocks=CFG["num_blocks"], depth=CFG["upsampling_depth"],
+        enc_kernel_size=CFG["enc_kernel_size"], num_sources=2,
+        halo_frames=tiny_halo,
+    ))
+    err = np.abs(out - ref).max()
+    assert err > 1e-3, "a one-level halo should NOT be exact"
+
+
+def test_separate_cli_seq_parallel_mode(tmp_path):
+    """End-to-end: checkpoint -> `sudo-tpu-separate --mode seq_parallel`."""
+    from scipy.io import wavfile
+
+    from sudo_rm_rf_tpu.cli.separate import main as separate_main
+    from sudo_rm_rf_tpu.utils import CheckpointManager
+
+    params = _init()
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), "tinyimproved").save(
+        params, "final"
+    )
+    mix = (
+        0.2 * np.sin(2 * np.pi * 440 / 8000 * np.arange(6000))
+    ).astype(np.float32)
+    wav_path = str(tmp_path / "mix.wav")
+    wavfile.write(wav_path, 8000, (mix * 32767).astype(np.int16))
+
+    rc = separate_main([
+        "--checkpoint", ckpt, "--model_type", "relu",
+        "--input", wav_path, "--out_dir", str(tmp_path / "out"),
+        "--mode", "seq_parallel",
+        "--out_channels", str(CFG["out_channels"]),
+        "--in_channels", str(CFG["in_channels"]),
+        "--num_blocks", str(CFG["num_blocks"]),
+        "--upsampling_depth", str(CFG["upsampling_depth"]),
+        "--enc_kernel_size", str(CFG["enc_kernel_size"]),
+        "--enc_num_basis", str(CFG["enc_num_basis"]),
+    ])
+    assert rc == 0
+    for s in (1, 2):
+        sr, est = wavfile.read(tmp_path / "out" / f"mix_s{s}.wav")
+        assert sr == 8000 and est.shape == (6000,)
