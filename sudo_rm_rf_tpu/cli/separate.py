@@ -82,9 +82,9 @@ def main(argv=None):
         params = load_params_from_checkpoint(args.checkpoint, params)
 
     if args.mode == "seq_parallel":
-        if args.model_type != "relu":
-            p.error("--mode seq_parallel supports model_type 'relu' "
-                    "(the improved SuDoRM-RF fma path)")
+        if args.model_type not in ("relu", "groupcomm_v2"):
+            p.error("--mode seq_parallel supports model_type 'relu' or "
+                    "'groupcomm_v2'")
         import os
 
         import numpy as np
@@ -100,6 +100,8 @@ def main(argv=None):
             enc_kernel_size=hp["enc_kernel_size"],
             num_sources=args.num_sources,
             mixture_consistency=args.mixture_consistency,
+            model_type=args.model_type,
+            group_size=hp.get("group_size", args.group_size),
         )
         os.makedirs(args.out_dir, exist_ok=True)
         for path in args.input:

@@ -101,6 +101,32 @@ def _seq_glob_ln(x, gamma, beta, owned, axis, n_shards, eps=1e-8):
     return sc * x + sh
 
 
+def _halo_exchange(x_shard, halo_s, axis, n_shards):
+    """(B, owned_s) -> (B, 1, owned_s + 2*halo_s) with neighbor halos.
+
+    ppermute leaves the outermost edges zero — exactly the global zero pad.
+    """
+    left = lax.ppermute(
+        x_shard[:, -halo_s:], axis, [(j, j + 1) for j in range(n_shards - 1)]
+    )
+    right = lax.ppermute(
+        x_shard[:, :halo_s], axis, [(j + 1, j) for j in range(n_shards - 1)]
+    )
+    return jnp.concatenate([left, x_shard, right], axis=-1)[:, None, :]
+
+
+def _level_masks(depth, f_local, owned_f, halo_frames, t_f_global, axis, dtype):
+    """Per-ladder-level masks zeroing frames outside the global sequence."""
+    i = lax.axis_index(axis)
+    g_start_f = i * owned_f - halo_frames
+    masks = []
+    for k in range(depth):
+        idx = (g_start_f >> k) + lax.iota(jnp.int32, f_local >> k)
+        m = (idx >= 0) & (idx < (t_f_global >> k))
+        masks.append(m.astype(dtype)[None, None, :])
+    return masks
+
+
 def _uconv_block_fma_seq(x, params, depth, masks, owned0, axis, n_shards):
     """`ops.pallas.uconv.uconv_block_fma` with sequence-sharded semantics.
 
@@ -207,27 +233,14 @@ def _seq_forward_shard(
         params = jax.tree.map(lambda v: v.astype(cdt), params)
         x_shard = x_shard.astype(cdt)
 
-    # halo exchange of raw samples; ppermute leaves the outermost edges
-    # zero = the global zero pad
-    left = lax.ppermute(
-        x_shard[:, -halo_s:], axis, [(j, j + 1) for j in range(n_shards - 1)]
-    )
-    right = lax.ppermute(
-        x_shard[:, :halo_s], axis, [(j + 1, j) for j in range(n_shards - 1)]
-    )
-    xloc = jnp.concatenate([left, x_shard, right], axis=-1)[:, None, :]
-
-    i = lax.axis_index(axis)
-    g_start_f = i * owned_f - halo_frames  # global index of local frame 0
+    xloc = _halo_exchange(x_shard, halo_s, axis, n_shards)
 
     # out-of-global-range masks per ladder level (frames beyond the global
     # sequence must read as the zero pad the unsharded convs apply)
     f_local = owned_f + 2 * halo_frames
-    masks = []
-    for k in range(depth):
-        idx = (g_start_f >> k) + lax.iota(jnp.int32, f_local >> k)
-        m = (idx >= 0) & (idx < (t_f_global >> k))
-        masks.append(m.astype(x_shard.dtype)[None, None, :])
+    masks = _level_masks(
+        depth, f_local, owned_f, halo_frames, t_f_global, axis, x_shard.dtype
+    )
 
     enc_num_basis = params["encoder"]["weight"].shape[0]
     x = ops.conv1d(
@@ -272,6 +285,262 @@ def _seq_forward_shard(
     )
     out = lax.slice_in_dim(est, halo_s, halo_s + owned_s, axis=2)
     return out.astype(jnp.float32)
+
+
+def _tac_seq(p, x, owned, axis, n_shards):
+    """`fast_inference._tac_fast` (bandwidth-shaped TAC) with the final
+    GlobLN's statistics psum'd over the ``seq`` axis. TAC itself is
+    pointwise in time — no halo is consumed."""
+    b, g, n, t = x.shape
+
+    def lin(sub, v):
+        return jnp.einsum("...ct,oc->...ot", v, sub["weight"]) + sub["bias"][
+            ..., :, None
+        ]
+
+    def prelu(sub, v):
+        return jnp.where(v >= 0, v, sub["weight"][0] * v)
+
+    y = prelu(p["TAC_input_1"], lin(p["TAC_input_0"], x))
+    mean = jnp.mean(y, axis=1)
+    mean = prelu(p["TAC_mean_1"], lin(p["TAC_mean_0"], mean))
+    h = y.shape[2]
+    w_out = p["TAC_output_0"]["weight"]  # (N, 2H)
+    out = (
+        jnp.einsum("bgct,oc->bgot", y, w_out[:, :h])
+        + jnp.einsum("bct,oc->bot", mean, w_out[:, h:])[:, None]
+        + p["TAC_output_0"]["bias"][None, None, :, None]
+    )
+    out = prelu(p["TAC_output_1"], out)
+    out = _seq_glob_ln(
+        out.reshape(b * g, n, t), p["TAC_norm"]["gamma"], p["TAC_norm"]["beta"],
+        owned, axis, n_shards,
+    )
+    return x + out.reshape(b, g, n, t)
+
+
+def _gc_block_seq(x, kp, depth, g, masks, owned0, axis, n_shards):
+    """`fast_inference.gc_uconv_block_fma_merged` with sequence-sharded
+    semantics: per-(batch, group) GlobLN statistics over owned frames
+    psum'd over `axis`; out-of-global masks on every spatial conv input."""
+    b, c_out, t = x.shape
+    out_pg = c_out // g
+    in_pg = kp["proj_w"].shape[0]
+    c_in = g * in_pg
+    h0, o0 = owned0
+
+    def grouped_stats(o, gamma, beta, level):
+        """per-(b, group) stats over owned frames at `level`, psum'd; folded
+        to merged (B, C_in, 1) scale/shift."""
+        s, l = h0 >> level, o0 >> level
+        og = lax.slice_in_dim(o, s, s + l, axis=2).reshape(
+            b, g, in_pg, l
+        ).astype(jnp.float32)
+        s1 = lax.psum(jnp.sum(og, axis=(2, 3), keepdims=True), axis)
+        s2 = lax.psum(jnp.sum(og * og, axis=(2, 3), keepdims=True), axis)
+        nelem = in_pg * l * n_shards
+        mean = s1 / nelem
+        var = jnp.maximum(s2 / nelem - mean * mean, 0.0)
+        inv = lax.rsqrt(var + 1e-8)  # (B, g, 1, 1)
+        gm = gamma.astype(jnp.float32)[None, None, :, None]
+        bt = beta.astype(jnp.float32)[None, None, :, None]
+        a = (gm * inv).reshape(b, g, in_pg, 1).reshape(b, c_in, 1)
+        bb = (bt - gm * inv * mean).reshape(b, c_in, 1)
+        return a.astype(o.dtype), bb.astype(o.dtype)
+
+    # proj 1x1 (shared across groups) + per-group GlobLN + PReLU
+    xg = x.reshape(b, g, out_pg, t)
+    y = jnp.einsum("bgct,ic->bgit", xg, kp["proj_w"]) + kp["proj_b"][None, None, :, None]
+    a, bb = grouped_stats(
+        y.reshape(b, c_in, t), kp["proj_g"], kp["proj_beta"], 0
+    )
+    y = (a * y.reshape(b, c_in, t) + bb)
+    y = jnp.where(y >= 0, y, kp["proj_slope"] * y)
+
+    dw_w = jnp.tile(kp["dw_w"], (1, g, 1))  # (depth, C_in, 5)
+    dw_b = jnp.tile(kp["dw_b"], (1, g))
+
+    def conv_s1(v, w):
+        vp = jnp.pad(v, ((0, 0), (0, 0), (2, 2)))
+        tt = v.shape[-1]
+        return sum(
+            w[None, :, j : j + 1] * lax.slice_in_dim(vp, j, j + tt, axis=2)
+            for j in range(5)
+        )
+
+    def conv_s2(v, w):
+        th = v.shape[-1] // 2
+        vr = v.reshape(b, c_in, th, 2)
+        ve, vo = vr[..., 0], vr[..., 1]
+        ve_p = jnp.pad(ve, ((0, 0), (0, 0), (1, 1)))
+        vo_p = jnp.pad(vo, ((0, 0), (0, 0), (1, 0)))
+        wc = w[None, :, :, None]
+        return (
+            wc[:, :, 0] * ve_p[:, :, 0:th]
+            + wc[:, :, 1] * vo_p[:, :, 0:th]
+            + wc[:, :, 2] * ve_p[:, :, 1 : th + 1]
+            + wc[:, :, 3] * vo_p[:, :, 1:]
+            + wc[:, :, 4] * ve_p[:, :, 2 : th + 2]
+        )
+
+    a = jnp.ones((b, c_in, 1), y.dtype)
+    bb = jnp.zeros((b, c_in, 1), y.dtype)
+    cur, raw, folds = y, [], []
+    for k in range(depth):
+        x_in = (a * cur + bb) * masks[k if k == 0 else k - 1]
+        o = conv_s1(x_in, dw_w[k]) if k == 0 else conv_s2(x_in, dw_w[k])
+        o = o + dw_b[k][None, :, None]
+        a, bb = grouped_stats(o, kp["dw_g"][k], kp["dw_beta"][k], k)
+        raw.append(o)
+        folds.append((a, bb))
+        cur = o
+
+    a, bb = folds[-1]
+    acc = a * raw[-1] + bb
+    for k in range(depth - 2, -1, -1):
+        a, bb = folds[k]
+        acc = (a * raw[k] + bb) + ops.upsample_nearest_2x(acc)
+
+    a, bb = grouped_stats(acc, kp["final_g"], kp["final_beta"], 0)
+    acc = a * acc + bb
+    acc = jnp.where(acc >= 0, acc, kp["final_slope"] * acc)
+    accg = acc.reshape(b, g, in_pg, t)
+    out = jnp.einsum("bgit,ci->bgct", accg, kp["res_w"]) + kp["res_b"][
+        None, None, :, None
+    ]
+    return out.reshape(b, c_out, t) + x
+
+
+def _gc_seq_forward_shard(
+    params,
+    x_shard,  # (B, owned_samples)
+    *,
+    num_blocks,
+    depth,
+    enc_kernel_size,
+    num_sources,
+    group_size,
+    n_shards,
+    halo_frames,
+    compute_dtype,
+    axis=SEQ_AXIS,
+):
+    """GroupComm per-shard body under shard_map (in_audio_channels=1)."""
+    stride = enc_kernel_size // 2
+    halo_s = halo_frames * stride
+    b, owned_s = x_shard.shape
+    if owned_s < halo_s:
+        raise ValueError(
+            f"per-shard length {owned_s} < halo {halo_s}: pad the input or "
+            "shrink halo_frames"
+        )
+    owned_f = owned_s // stride
+    t_f_global = n_shards * owned_f
+
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        params = jax.tree.map(lambda v: v.astype(cdt), params)
+        x_shard = x_shard.astype(cdt)
+
+    xloc = _halo_exchange(x_shard, halo_s, axis, n_shards)
+    f_local = owned_f + 2 * halo_frames
+    masks = _level_masks(
+        depth, f_local, owned_f, halo_frames, t_f_global, axis, x_shard.dtype
+    )
+    owned0 = (halo_frames, owned_f)
+
+    enc_num_basis = params["encoder"]["weight"].shape[0]
+    out_channels = params["bottleneck"]["weight"].shape[0]
+    g = group_size
+
+    x = ops.conv1d(
+        xloc, params["encoder"]["weight"], stride=stride, padding=stride
+    )
+    x = x * masks[0]
+    s = x
+    x = _seq_glob_ln(
+        x, params["ln"]["gamma"], params["ln"]["beta"], owned0, axis, n_shards
+    )
+    x = ops.conv1d(
+        x, params["bottleneck"]["weight"], params["bottleneck"]["bias"]
+    )
+
+    for i in range(num_blocks):
+        bp = params[f"sm_{i}"]
+        t = x.shape[-1]
+        y = _tac_seq(
+            bp["TAC"], x.reshape(b, g, out_channels // g, t),
+            owned0, axis, n_shards,
+        )
+        kp = params_from_flax(bp["UBlock"])
+        x = _gc_block_seq(
+            y.reshape(b, out_channels, t), kp, depth, g, masks,
+            owned0, axis, n_shards,
+        )
+
+    slope = params["mask_net_0"]["weight"][0]
+    x = jnp.where(x >= 0, x, slope * x)
+    x = ops.conv1d(
+        x, params["mask_net_1"]["weight"], params["mask_net_1"]["bias"]
+    )
+    x = x.reshape(b, num_sources, enc_num_basis, -1)
+    x = jax.nn.relu(x)
+    x = x * s[:, None, :, :]
+
+    est = ops.conv_transpose1d(
+        (x * masks[0][:, None]).reshape(b, num_sources * enc_num_basis, -1),
+        params["decoder"]["weight"],
+        stride=stride,
+        padding=stride,
+        output_padding=stride - 1,
+    )
+    out = lax.slice_in_dim(est, halo_s, halo_s + owned_s, axis=2)
+    return out.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "num_blocks", "depth", "enc_kernel_size", "num_sources",
+        "group_size", "halo_frames", "compute_dtype",
+    ),
+)
+def groupcomm_forward_seq(
+    params,
+    input_wav,  # (B, T), T shard-aligned
+    mesh: Mesh,
+    num_blocks: int = 16,
+    depth: int = 5,
+    enc_kernel_size: int = 21,
+    num_sources: int = 2,
+    group_size: int = 16,
+    halo_frames: Optional[int] = None,
+    compute_dtype: Optional[str] = None,
+):
+    """Time-sharded GroupComm forward (TAC is pointwise in time, so only
+    the shared ladder consumes halo). Equals `groupcomm_forward_fast`
+    (impl='fma_merged') on the same input — tested."""
+    n_shards = mesh.shape[SEQ_AXIS]
+    if halo_frames is None:
+        halo_frames = default_halo_frames(num_blocks, depth)
+    body = functools.partial(
+        _gc_seq_forward_shard,
+        num_blocks=num_blocks,
+        depth=depth,
+        enc_kernel_size=enc_kernel_size,
+        num_sources=num_sources,
+        group_size=group_size,
+        n_shards=n_shards,
+        halo_frames=halo_frames,
+        compute_dtype=compute_dtype,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, SEQ_AXIS)),
+        out_specs=P(None, None, SEQ_AXIS),
+    )
+    return fn(params, input_wav)
 
 
 @functools.partial(
@@ -327,7 +596,8 @@ class SequenceParallelSeparator:
     reduction-order float noise), at 1/n_shards the per-chip time footprint.
 
     Args:
-      params: flax 'params' tree of SuDORMRFImproved.
+      params: flax 'params' tree of SuDORMRFImproved (model_type='relu')
+        or GroupCommSuDORMRF (model_type='groupcomm_v2').
       mesh: 1-D ``seq`` mesh (default: all devices via `make_seq_mesh`).
       bucket_samples: round padded per-shard lengths up to a multiple of
         this to bound recompiles across input lengths (0 = exact fit).
@@ -346,7 +616,16 @@ class SequenceParallelSeparator:
         mixture_consistency: Optional[str] = None,
         compute_dtype: Optional[str] = None,
         bucket_samples: int = 0,
+        model_type: str = "relu",
+        group_size: int = 16,
     ):
+        if model_type not in ("relu", "groupcomm_v2"):
+            raise ValueError(
+                f"sequence parallelism supports 'relu'/'groupcomm_v2', "
+                f"got {model_type!r}"
+            )
+        self.model_type = model_type
+        self.group_size = group_size
         self.params = params
         self.mesh = mesh if mesh is not None else make_seq_mesh()
         self.num_blocks = num_blocks
@@ -392,10 +671,7 @@ class SequenceParallelSeparator:
         arr = jax.device_put(
             padded[None], NamedSharding(self.mesh, P(None, SEQ_AXIS))
         )
-        est = improved_forward_seq(
-            self.params,
-            arr,
-            self.mesh,
+        kwargs = dict(
             num_blocks=self.num_blocks,
             depth=self.depth,
             enc_kernel_size=self.enc_kernel_size,
@@ -403,6 +679,13 @@ class SequenceParallelSeparator:
             halo_frames=self.halo_frames,
             compute_dtype=self.compute_dtype,
         )
+        if self.model_type == "groupcomm_v2":
+            est = groupcomm_forward_seq(
+                self.params, arr, self.mesh,
+                group_size=self.group_size, **kwargs,
+            )
+        else:
+            est = improved_forward_seq(self.params, arr, self.mesh, **kwargs)
         est = np.asarray(est)[0, :, :t]
         if self.mixture_consistency is not None:
             from sudo_rm_rf_tpu.losses import mixture_consistency as mc

@@ -229,3 +229,60 @@ def test_separate_cli_seq_parallel_mode(tmp_path):
     for s in (1, 2):
         sr, est = wavfile.read(tmp_path / "out" / f"mix_s{s}.wav")
         assert sr == 8000 and est.shape == (6000,)
+
+
+GC_CFG = dict(
+    out_channels=32, in_channels=64, num_blocks=2, upsampling_depth=3,
+    enc_kernel_size=17, enc_num_basis=16, num_sources=2, group_size=4,
+)
+
+
+def test_gc_seq_parallel_matches_unsharded():
+    from sudo_rm_rf_tpu.inference.sequence_parallel import (
+        groupcomm_forward_seq,
+    )
+    from sudo_rm_rf_tpu.models.fast_inference import groupcomm_forward_fast
+
+    model = models.get_model("groupcomm_v2", **GC_CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 512)))["params"]
+    mesh = make_seq_mesh(8)
+    stride = GC_CFG["enc_kernel_size"] // 2
+    align = stride * 2 ** GC_CFG["upsampling_depth"]
+    halo = default_halo_frames(GC_CFG["num_blocks"], GC_CFG["upsampling_depth"])
+    per = -(-max(halo * stride, 3 * align) // align) * align
+    t = 8 * per
+    x = np.random.default_rng(7).standard_normal((1, t)).astype(np.float32)
+
+    ref = groupcomm_forward_fast(
+        params, jnp.asarray(x)[:, None, :],
+        num_blocks=GC_CFG["num_blocks"],
+        upsampling_depth=GC_CFG["upsampling_depth"],
+        enc_kernel_size=GC_CFG["enc_kernel_size"],
+        num_sources=2, group_size=GC_CFG["group_size"], impl="fma_merged",
+    )
+    out = groupcomm_forward_seq(
+        params, jnp.asarray(x), mesh,
+        num_blocks=GC_CFG["num_blocks"], depth=GC_CFG["upsampling_depth"],
+        enc_kernel_size=GC_CFG["enc_kernel_size"], num_sources=2,
+        group_size=GC_CFG["group_size"],
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_gc_seq_separator():
+    model = models.get_model("groupcomm_v2", **GC_CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 512)))["params"]
+    sep = SequenceParallelSeparator(
+        params, mesh=make_seq_mesh(4),
+        num_blocks=GC_CFG["num_blocks"],
+        upsampling_depth=GC_CFG["upsampling_depth"],
+        enc_kernel_size=GC_CFG["enc_kernel_size"],
+        num_sources=2, mixture_consistency="uniform",
+        model_type="groupcomm_v2", group_size=GC_CFG["group_size"],
+    )
+    t = 9000 + 11
+    mixture = np.random.default_rng(8).standard_normal(t).astype(np.float32)
+    est = sep.separate(mixture)
+    assert est.shape == (2, t)
+    assert np.isfinite(est).all()
