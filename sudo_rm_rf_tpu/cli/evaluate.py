@@ -33,6 +33,11 @@ def main(argv=None):
     p.add_argument("--min_or_max", default="min")
     p.add_argument("--mixture_consistency", default=None,
                    choices=[None, "uniform", "magsq"])
+    p.add_argument("--full_length_mode", default="overlap_add",
+                   choices=["overlap_add", "seq_parallel"],
+                   help="whole-utterance engine: COLA chunking (any model) "
+                        "or exact time-sharded single pass (relu / "
+                        "groupcomm_v2)")
     p.add_argument("--full_length", action="store_true",
                    help="evaluate whole utterances through the overlap-add "
                         "runtime (one compiled chunk shape) instead of "
@@ -140,13 +145,30 @@ def main(argv=None):
 
     ola = None
     if args.full_length:
-        from sudo_rm_rf_tpu.inference import OverlapAddSeparator
+        if args.full_length_mode == "seq_parallel":
+            from sudo_rm_rf_tpu.inference import SequenceParallelSeparator
 
-        ola = OverlapAddSeparator(
-            model, params, chunk_samples=int(args.timelength * args.fs),
-            num_sources=args.num_sources,
-            mixture_consistency=args.mixture_consistency,
-        )
+            if args.model_type not in ("relu", "groupcomm_v2"):
+                p.error("--full_length_mode seq_parallel supports "
+                        "model_type 'relu' or 'groupcomm_v2'")
+            ola = SequenceParallelSeparator(
+                params,
+                num_blocks=hp["num_blocks"],
+                upsampling_depth=hp["upsampling_depth"],
+                enc_kernel_size=hp["enc_kernel_size"],
+                num_sources=hp["num_sources"],
+                mixture_consistency=args.mixture_consistency,
+                model_type=args.model_type,
+                group_size=hp.get("group_size", args.group_size),
+            )
+        else:
+            from sudo_rm_rf_tpu.inference import OverlapAddSeparator
+
+            ola = OverlapAddSeparator(
+                model, params, chunk_samples=int(args.timelength * args.fs),
+                num_sources=args.num_sources,
+                mixture_consistency=args.mixture_consistency,
+            )
 
     results = {"si_sdr": [], "si_sdri": [], "sdr": [], "sdri": [], "sir": [],
                "sar": []}

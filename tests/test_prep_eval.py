@@ -231,6 +231,18 @@ def test_evaluate_cli_full_length(tmp_path):
     ])
     assert rc == 0
 
+    # the exact time-sharded engine over the same utterances
+    rc = main([
+        "--checkpoint", str(ckpt), "--model_type", "relu",
+        "--dataset", "WHAM", "--split", "test", "-fs", str(SR),
+        "--timelength", "1.0", "--full_length",
+        "--full_length_mode", "seq_parallel",
+        "--out_channels", "16", "--in_channels", "32", "--num_blocks", "1",
+        "--upsampling_depth", "2", "--enc_num_basis", "16",
+        "--root_dirpath", str(tmp_path),
+    ])
+    assert rc == 0
+
 
 def test_export_cli_roundtrip(tmp_path):
     """sudo-tpu-export: msgpack checkpoint -> torch .pt, strict-verified
