@@ -304,6 +304,177 @@ class DPTNetBlock(nn.Module):
         return _TorchLayerNorm(self.d_model, eps=1e-5, name="norm2")(src)
 
 
+class _PytorchEncoderLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer (post-norm, relu, eval-mode): MHA +
+    residual + LayerNorm(eps 1e-5), then linear1->relu->linear2 + residual
+    + LayerNorm. Param names mirror the torch state_dict."""
+
+    d_model: int
+    nhead: int
+    d_ffn: int
+
+    @nn.compact
+    def __call__(self, src):  # (B, L, N)
+        src2 = TorchMHA(self.d_model, self.nhead, name="self_attn")(src)
+        src = _TorchLayerNorm(self.d_model, eps=1e-5, name="norm1")(src + src2)
+        h = Linear(self.d_model, self.d_ffn, name="linear1")(
+            jnp.swapaxes(src, -1, -2)
+        )
+        h = jax.nn.relu(h)
+        h = Linear(self.d_ffn, self.d_model, name="linear2")(h)
+        src2 = jnp.swapaxes(h, -1, -2)
+        return _TorchLayerNorm(self.d_model, eps=1e-5, name="norm2")(src + src2)
+
+
+class _PytorchEncoderStack(nn.Module):
+    """torch.nn.TransformerEncoder(norm=None): layers.{i} children."""
+
+    d_model: int
+    nhead: int
+    d_ffn: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = _PytorchEncoderLayer(
+                self.d_model, self.nhead, self.d_ffn, name=f"layers_{i}"
+            )(x)
+        return x
+
+
+class PytorchTransformerBlock(nn.Module):
+    """Plain-pytorch dual-path block (`sepformer.py:948-1020`).
+
+    Upstream wraps ``nn.TransformerEncoder`` built seq-first (torch<2 has no
+    batch_first) yet feeds the documented (B, L, N) tensor, so — exactly
+    like DPTNetBlock — its attention literally runs across the batch axis.
+    This module implements the evident per-sequence intent on (B, L, N);
+    the parity test recovers the literal upstream numerics by transposing,
+    since the upstream block is this block applied to the transposed
+    tensor. The positional encoding is upstream's
+    ``PyTorchPositionalEncoding`` (`sepformer.py:897-945`), added over the
+    leading (sequence) axis. Dropout 0.1 upstream is inference-inactive;
+    this is a serving/eval-oriented module like the other alt blocks.
+    """
+
+    out_channels: int
+    num_layers: int = 6
+    nhead: int = 8
+    d_ffn: int = 2048
+    use_positional_encoding: bool = True
+
+    @property
+    def out_dim(self) -> int:
+        return self.out_channels
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, N)
+        if self.use_positional_encoding:
+            x = x + sinusoidal_pe(x.shape[1], self.out_channels, x.dtype)[None]
+        return _PytorchEncoderStack(
+            self.out_channels, self.nhead, self.d_ffn, self.num_layers,
+            name="mdl",
+        )(x)
+
+
+class _LinearAttention(nn.Module):
+    """Linear (kernelized) attention: softmax replaced by the positive
+    feature map phi(x) = elu(x) + 1, giving
+    ``V' = phi(Q) (phi(K)^T V) / (phi(Q) phi(K)^T 1)`` — O(L) in sequence
+    length, the 'linear' attention_type of the fast-transformers library
+    the reference's FastTransformerBlock builds (`sepformer.py:802-891`).
+    """
+
+    d_model: int
+    nhead: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, N)
+        d, h = self.d_model, self.nhead
+        hd = d // h
+        q = Linear(d, d, name="q_proj")(jnp.swapaxes(x, -1, -2))
+        k = Linear(d, d, name="k_proj")(jnp.swapaxes(x, -1, -2))
+        v = Linear(d, d, name="v_proj")(jnp.swapaxes(x, -1, -2))
+        b, _, L = q.shape
+        q = jnp.swapaxes(q, -1, -2).reshape(b, L, h, hd)
+        k = jnp.swapaxes(k, -1, -2).reshape(b, L, h, hd)
+        v = jnp.swapaxes(v, -1, -2).reshape(b, L, h, hd)
+        fq = jax.nn.elu(q) + 1.0
+        fk = jax.nn.elu(k) + 1.0
+        kv = jnp.einsum("blhd,blhe->bhde", fk, v)
+        z = 1.0 / (jnp.einsum("blhd,bhd->blh", fq, jnp.sum(fk, axis=1)) + 1e-6)
+        out = jnp.einsum("blhd,bhde,blh->blhe", fq, kv, z).reshape(b, L, d)
+        return jnp.swapaxes(
+            Linear(d, d, name="out_proj")(jnp.swapaxes(out, -1, -2)), -1, -2
+        )
+
+
+class _FastEncoderLayer(nn.Module):
+    """fast-transformers TransformerEncoderLayer shape: attention residual,
+    norm1, then linear1->relu->linear2 residual, norm2 (post-norm)."""
+
+    d_model: int
+    nhead: int
+    d_ffn: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + _LinearAttention(self.d_model, self.nhead, name="attention")(x)
+        x = _TorchLayerNorm(self.d_model, eps=1e-5, name="norm1")(x)
+        y = Linear(self.d_model, self.d_ffn, name="linear1")(
+            jnp.swapaxes(x, -1, -2)
+        )
+        y = jax.nn.relu(y)
+        y = Linear(self.d_ffn, self.d_model, name="linear2")(y)
+        return _TorchLayerNorm(self.d_model, eps=1e-5, name="norm2")(
+            x + jnp.swapaxes(y, -1, -2)
+        )
+
+
+class FastTransformerBlock(nn.Module):
+    """Efficient-attention dual-path block (`sepformer.py:802-891`).
+
+    Upstream delegates to the external ``fast_transformers`` library, which
+    is not in the reference's requirements.txt and is absent from this
+    environment — the upstream class is unrunnable dead code (its import
+    fails), so no golden parity is possible; tests cover upstream's
+    ImportError plus this module's properties instead. Implemented here:
+    the 'linear' attention type (elu+1 kernelized attention, O(L)), and
+    upstream's reformer bucket zero-pad/truncate wrapper semantics when
+    ``attention_type='reformer'`` is requested (applied around the same
+    linear-attention stack, since the reformer internals live in the
+    missing library).
+    """
+
+    out_channels: int
+    attention_type: str = "linear"
+    num_layers: int = 6
+    nhead: int = 8
+    d_ffn: int = 1024
+    reformer_bucket_size: int = 32
+
+    @property
+    def out_dim(self) -> int:
+        return self.out_channels
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, N)
+        pad = 0
+        if self.attention_type == "reformer":
+            bucket = self.reformer_bucket_size * 2
+            pad = bucket - (x.shape[1] % bucket)
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        for i in range(self.num_layers):
+            x = _FastEncoderLayer(
+                self.out_channels, self.nhead, self.d_ffn,
+                name=f"mdl_layers_{i}",
+            )(x)
+        if pad:
+            x = x[:, :-pad, :]
+        return x
+
+
 class GlobalLayerNorm4(nn.Module):
     """SepFormer gLN over (C,K,S) with (C,1,1) params (`sepformer.py:536-607`)."""
 
@@ -353,7 +524,8 @@ def _over_add(x, gap):
 def _make_block(cfg: dict, name: str):
     """Dual-path block factory: 'transformer' (SBTransformerBlock, the only
     kind any reference runner uses), 'rnn' (SBRNNBlock), 'dptnet'
-    (DPTNetBlock) — `sepformer.py:1022,1121,1183`."""
+    (DPTNetBlock), 'pytorch' (PytorchTransformerBlock), 'fast'
+    (FastTransformerBlock) — `sepformer.py:1022,1121,1183,948,802`."""
     cfg = dict(cfg)
     kind = cfg.pop("block_type", "transformer")
     if kind == "transformer":
@@ -362,6 +534,10 @@ def _make_block(cfg: dict, name: str):
         return SBRNNBlock(**cfg, name=name)
     if kind == "dptnet":
         return DPTNetBlock(**cfg, name=name)
+    if kind == "pytorch":
+        return PytorchTransformerBlock(**cfg, name=name)
+    if kind == "fast":
+        return FastTransformerBlock(**cfg, name=name)
     raise ValueError(f"unknown dual-path block type {kind!r}")
 
 
@@ -498,7 +674,8 @@ class SepFormer(nn.Module):
     intra_norm_before: bool = True
     inter_norm_before: bool = True
     # dual-path block family: 'transformer' (the published SepFormer),
-    # 'rnn' (SBRNNBlock), or 'dptnet' (DPTNetBlock)
+    # 'rnn' (SBRNNBlock), 'dptnet' (DPTNetBlock), 'pytorch'
+    # (PytorchTransformerBlock), or 'fast' (FastTransformerBlock)
     intra_block_type: str = "transformer"
     inter_block_type: str = "transformer"
     rnn_hidden: int = 256
@@ -524,6 +701,13 @@ class SepFormer(nn.Module):
                 block_type=kind, input_size=n,
                 hidden_channels=self.rnn_hidden,
                 num_layers=getattr(self, f"{which}_numlayers"),
+            )
+        if kind in ("pytorch", "fast"):
+            return dict(
+                block_type=kind, out_channels=n,
+                num_layers=getattr(self, f"{which}_numlayers"),
+                nhead=getattr(self, f"{which}_nhead"),
+                d_ffn=getattr(self, f"{which}_dffn"),
             )
         return dict(block_type=kind, d_model=n,
                     nhead=getattr(self, f"{which}_nhead"))

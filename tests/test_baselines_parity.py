@@ -218,7 +218,86 @@ def test_sbrnn_block_upstream_broken_and_intent():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("kind", ["rnn", "dptnet"])
+def test_pytorch_transformer_block_parity():
+    """PytorchTransformerBlock (`sepformer.py:948-1020`): the upstream
+    wrapper builds a seq-first nn.TransformerEncoder but feeds (B, L, N),
+    so — like DPTNetBlock — the literal upstream runs attention across the
+    batch axis. Our block implements the per-sequence intent; feeding the
+    upstream module the transposed tensor recovers it exactly (the
+    positional encoding then also lands on the sequence axis, as written).
+    """
+    from sudo_rm_rf.dnn.models.sepformer import PytorchTransformerBlock as Ref
+
+    from sudo_rm_rf_tpu.models.baselines.sepformer import (
+        PytorchTransformerBlock,
+    )
+
+    ref = Ref(16, num_layers=2, nhead=4, d_ffn=32, dropout=0.0,
+              use_positional_encoding=True)
+    jm = PytorchTransformerBlock(out_channels=16, num_layers=2, nhead=4,
+                                 d_ffn=32, use_positional_encoding=True)
+    x = np.random.default_rng(34).standard_normal((2, 40, 16)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        # intent orientation: (L, B, N) into the seq-first upstream module
+        want = ref(torch.from_numpy(np.swapaxes(x, 0, 1))).numpy()
+    shapes = jax.eval_shape(jm.init, jax.random.key(0), jnp.array(x))
+    params = state_dict_to_params(ref.state_dict(), shapes["params"])
+    got = np.swapaxes(np.asarray(jm.apply({"params": params}, jnp.array(x))),
+                      0, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_transformer_block_upstream_unrunnable_and_linear_attention():
+    """Upstream FastTransformerBlock (`sepformer.py:802-891`) imports the
+    external fast_transformers library inside __init__ — absent from the
+    reference requirements and from this environment, so the upstream class
+    cannot be constructed (no golden parity possible). Our block: linear
+    attention must equal its naive quadratic form, and the reformer
+    bucket-pad wrapper must preserve length."""
+    from sudo_rm_rf.dnn.models import sepformer as ref_sep
+
+    with pytest.raises(ImportError):
+        ref_sep.FastTransformerBlock("linear", 16)
+
+    from sudo_rm_rf_tpu.models.baselines.sepformer import (
+        FastTransformerBlock, _LinearAttention,
+    )
+
+    # linear attention == naive O(L^2) kernelized attention
+    att = _LinearAttention(d_model=16, nhead=4)
+    x = np.random.default_rng(35).standard_normal((2, 24, 16)).astype(np.float32)
+    params = att.init(jax.random.key(0), jnp.array(x))["params"]
+    got = np.asarray(att.apply({"params": params}, jnp.array(x)))
+
+    def lin(p, v):  # (B, L, D) x torch-layout (O, C) weight
+        return np.einsum("blc,oc->blo", v, np.asarray(p["weight"])) + np.asarray(
+            p["bias"]
+        )
+
+    def elu1(v):
+        return np.where(v > 0, v, np.expm1(v)) + 1.0
+
+    q = lin(params["q_proj"], x).reshape(2, 24, 4, 4)
+    k = lin(params["k_proj"], x).reshape(2, 24, 4, 4)
+    v = lin(params["v_proj"], x).reshape(2, 24, 4, 4)
+    scores = np.einsum("blhd,bshd->bhls", elu1(q), elu1(k))
+    weights = scores / (scores.sum(-1, keepdims=True) + 1e-6)
+    naive = np.einsum("bhls,bshd->blhd", weights, v).reshape(2, 24, 16)
+    want = lin(params["out_proj"], naive)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # reformer wrapper: zero-pad to bucket multiple, truncate back
+    blk = FastTransformerBlock(out_channels=16, attention_type="reformer",
+                               num_layers=1, nhead=4, d_ffn=32,
+                               reformer_bucket_size=8)
+    bp = blk.init(jax.random.key(1), jnp.array(x))["params"]
+    y = np.asarray(blk.apply({"params": bp}, jnp.array(x)))
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+
+
+@pytest.mark.parametrize("kind", ["rnn", "dptnet", "pytorch", "fast"])
 def test_sepformer_alt_block_forward(kind):
     """SepFormer with the alternative dual-path block families runs and
     preserves length (the reference never wires these into a runner; we
