@@ -3,13 +3,16 @@
 Improved SuDoRM-RF U16/Bases512 on 4 s @ 8 kHz mixtures (the BASELINE.md
 headline row: 53.3 ex/s fwd GPU bs4 on a 2080 Ti == 213.2 audio-sec/sec).
 
-Two rows are measured (VERDICT round-1 item 3):
+Three rows are measured (VERDICT round-1 item 3 + roadmap quantized item):
   * conservative: bs4, fp32, FMA serving path (models/fast_inference.py) —
     numerics match the flax model to ~1e-6 (parity-tested);
   * max-throughput: the fastest measured (batch, dtype, impl) config —
     bs8 full-bf16 plain-conv apply, a sharp v5e tiling sweet spot — gated
     on bf16-vs-fp32 output fidelity >= FIDELITY_GATE_DB. If the gate fails
     the conservative row becomes the headline.
+  * int8: bs8 quantized serving (models/quantized.py — int8 MXU matmuls,
+    bf16 elsewhere), gated on its own fidelity >= INT8_GATE_DB; becomes
+    the headline only if gated AND faster than the bf16 row.
 
 Prints ONE JSON line; `value` is the gated max-throughput figure.
 
@@ -28,6 +31,7 @@ import numpy as np
 
 BASELINE_AU_S = 213.2  # 2080 Ti fwd bs4 (BASELINE.md derived)
 FIDELITY_GATE_DB = 35.0
+INT8_GATE_DB = 25.0  # int8 weight+activation physics; ~2x the SI-SDR range
 SECONDS = 4.0
 SR = 8000
 
@@ -71,8 +75,28 @@ def main():
     max_secs = timed_loop(step_max, x8, n_hi=51)
     max_au = 8 * SECONDS / max_secs
 
+    # int8 row: quantized MXU matmuls (models/quantized.py), own gate
+    from sudo_rm_rf_tpu.models.quantized import (
+        improved_forward_int8, quantize_improved_params,
+    )
+
+    qp = quantize_improved_params(params)
+    q4 = np.asarray(improved_forward_int8(qp, x4)).astype(np.float32)
+    int8_fid = float(10 * np.log10((ref**2).sum() / ((ref - q4) ** 2).sum()))
+    x8f = jax.random.normal(jax.random.key(3), (8, 1, t), jnp.float32)
+
+    def step_int8(c):
+        y = improved_forward_int8(qp, c)
+        return jnp.sum(y, axis=1, keepdims=True) * 0.1 + c * 0.9
+
+    int8_secs = timed_loop(step_int8, x8f, n_hi=51)
+    int8_au = 8 * SECONDS / int8_secs
+
     gated = fidelity_db >= FIDELITY_GATE_DB and max_au > cons_au
     value = max_au if gated else cons_au
+    config = "bs8_bf16_conv" if gated else "bs4_fp32_fma"
+    if int8_fid >= INT8_GATE_DB and int8_au > value:
+        value, config = int8_au, "bs8_int8"
     print(
         json.dumps(
             {
@@ -80,10 +104,13 @@ def main():
                 "value": round(value, 2),
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(value / BASELINE_AU_S, 3),
-                "config": "bs8_bf16_conv" if gated else "bs4_fp32_fma",
+                "config": config,
                 "bf16_fidelity_db": round(fidelity_db, 1),
                 "fidelity_gate_db": FIDELITY_GATE_DB,
                 "conservative_bs4_fp32": round(cons_au, 2),
+                "int8_bs8": round(int8_au, 2),
+                "int8_fidelity_db": round(int8_fid, 1),
+                "int8_gate_db": INT8_GATE_DB,
             }
         )
     )

@@ -1,0 +1,93 @@
+"""Quantized-serving sweep: int8 vs bf16 vs fp32 across model scales.
+
+The int8 path (models/quantized.py) accelerates the 1x1 MXU matmuls
+(bottleneck, per-block proj/res, mask head). At U16/512 those are ~60% of
+FLOPs and the bf16 tiling sweet spot wins (BENCHMARKS.md); this script
+measures where the balance flips as `in_channels`/`enc_num_basis` grow and
+the matmuls dominate.
+
+Usage:
+    python scripts/bench_quantized.py [--config u16_512|u36_2048] [--bs 4 8]
+
+Prints one JSON line per (config, bs, path) row with ms/batch, au-s/s and
+fidelity vs the fp32 fma output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CONFIGS = {
+    "u16_512": dict(out_channels=256, in_channels=512, num_blocks=16,
+                    upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
+                    num_sources=2),
+    "u36_2048": dict(out_channels=512, in_channels=2048, num_blocks=36,
+                     upsampling_depth=5, enc_kernel_size=21,
+                     enc_num_basis=2048, num_sources=2),
+}
+SECONDS, SR = 4.0, 8000
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="u36_2048", choices=sorted(CONFIGS))
+    ap.add_argument("--bs", type=int, nargs="+", default=[4])
+    ap.add_argument("--n_hi", type=int, default=21)
+    args = ap.parse_args()
+
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.models.fast_inference import improved_forward_fast
+    from sudo_rm_rf_tpu.models.quantized import (
+        fidelity_db, improved_forward_int8, quantize_improved_params,
+    )
+    from sudo_rm_rf_tpu.utils.benchmark import timed_loop
+
+    hp = CONFIGS[args.config]
+    t = int(SECONDS * SR)
+    model = models.SuDORMRFImproved(**hp)
+    x1 = jax.random.normal(jax.random.key(1), (1, 1, t), jnp.float32)
+    params = model.init(jax.random.key(0), x1)["params"]
+    pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    qp = quantize_improved_params(params)
+    fwd_kw = dict(num_blocks=hp["num_blocks"], upsampling_depth=5,
+                  enc_kernel_size=21, num_sources=2)
+
+    ref1 = np.asarray(improved_forward_fast(params, x1, impl="fma", **fwd_kw))
+    fid_bf = fidelity_db(ref1, np.asarray(
+        model.apply({"params": pbf}, x1.astype(jnp.bfloat16))))
+    fid_q = fidelity_db(ref1, np.asarray(improved_forward_int8(qp, x1)))
+
+    for bs in args.bs:
+        x = jax.random.normal(jax.random.key(2), (bs, 1, t), jnp.float32)
+        xb = x.astype(jnp.bfloat16)
+        rows = {
+            "fp32_fma": (lambda c: improved_forward_fast(
+                params, c, impl="fma", **fwd_kw), x, None),
+            "bf16_conv": (lambda c: model.apply({"params": pbf}, c).astype(
+                jnp.bfloat16), xb, fid_bf),
+            "int8": (lambda c: improved_forward_int8(qp, c), x, fid_q),
+        }
+        for name, (fwd, inp, fid) in rows.items():
+            def step(c, fwd=fwd):
+                y = fwd(c)
+                return (jnp.sum(y, axis=1, keepdims=True) * 0.1).astype(
+                    c.dtype) + c * 0.9
+
+            secs = timed_loop(step, inp, n_hi=args.n_hi)
+            row = {
+                "config": args.config, "bs": bs, "path": name,
+                "ms_per_batch": round(secs * 1e3, 2),
+                "au_s_per_s": round(bs * SECONDS / secs, 1),
+            }
+            if fid is not None:
+                row["fidelity_db_vs_fp32"] = round(fid, 1)
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,7 @@ def uconv_block_reference(x, params, depth: int):
     return out + x
 
 
-def uconv_block_fma(x, params, depth: int, constrain=None):
+def uconv_block_fma(x, params, depth: int, constrain=None, matmul=None):
     """Pure-XLA block with the kernel's algebraic optimizations.
 
     Same math as uconv_block_reference but: depthwise convs as 5 shifted
@@ -93,12 +93,27 @@ def uconv_block_fma(x, params, depth: int, constrain=None):
     constraint on the channel dim — tensor parallelism over a mesh 'model'
     axis (GSPMD then shards the ladder per-channel and inserts the GlobLN
     psum and the proj/res matmul collectives automatically).
+
+    matmul: optional fn (w, v) -> out with w (O, C) and v (B, C, T)
+    computing out[b,o,t] = sum_c w[o,c] v[b,c,t] — the hook the int8
+    serving path (models/quantized.py) uses to route the proj/res matmuls
+    through quantized MXU dots. When set, ``params['proj_w']`` /
+    ``params['res_w']`` may be whatever the hook understands (e.g. a
+    {'q': int8, 's': scales} dict) — this function only passes them
+    through. The proj einsum transposes w internally by default, so the
+    default hook handles both orientations via (O, C) weights.
     """
     if constrain is None:
         constrain = lambda v: v
+    if matmul is None:
+        matmul = lambda w, v: jnp.einsum("oc,bct->bot", w, v)
     b, co, t = x.shape
-    ci = params["proj_w"].shape[0]
-    y = jnp.einsum("co,bot->bct", params["proj_w"], x) + params["proj_b"][None, :, None]
+    proj_w = params["proj_w"]
+    # proj_w rows are the expanded Ci dim in both forms ((Ci, Co) array or
+    # int8 {'q': (O=Ci, C=Co)} dict)
+    ci = proj_w["q"].shape[0] if isinstance(proj_w, dict) else proj_w.shape[0]
+    # proj_w is stored (Ci, Co); the hook contract is (O, C) = (Ci, Co) here
+    y = matmul(proj_w, x) + params["proj_b"][None, :, None]
     y = constrain(y)
     y = ops.glob_ln(y, params["proj_g"], params["proj_beta"])
     y = jnp.where(y >= 0, y, params["proj_slope"] * y)
@@ -161,7 +176,7 @@ def uconv_block_fma(x, params, depth: int, constrain=None):
 
     acc = ops.glob_ln(acc, params["final_g"], params["final_beta"])
     acc = jnp.where(acc >= 0, acc, params["final_slope"] * acc)
-    out = jnp.einsum("oc,bct->bot", params["res_w"], acc) + params["res_b"][None, :, None]
+    out = matmul(params["res_w"], acc) + params["res_b"][None, :, None]
     return constrain(out + x)
 
 
