@@ -267,3 +267,22 @@ def test_bss_eval_sources_matches_naive_numpy():
             assert abs(got["sdr"][bi, j] - want_sdr) < 1e-2
             assert abs(got["sir"][bi, j] - want_sir) < 1e-2
             assert abs(got["sar"][bi, j] - want_sar) < 1e-2
+
+
+def test_bss_eval_sources_finite_on_perfect_separation():
+    """Regression: when an estimate is (near-)exactly a true source the
+    interference/artifact energies are ~0 and roundoff can push the
+    closed-form error terms slightly negative, which used to NaN the log
+    (seen as sir_mean=NaN in `sudo-tpu-evaluate` on a well-trained
+    checkpoint). All metrics must stay finite, with SIR/SAR very large."""
+    from sudo_rm_rf_tpu.losses import bss_eval_sources
+
+    rng = np.random.default_rng(22)
+    targets = rng.standard_normal((2, 2, 800)).astype(np.float32)
+    est = targets[:, ::-1].copy()  # exact copies, swapped order
+
+    got = {k: np.asarray(v) for k, v in bss_eval_sources(est, targets).items()}
+    for key in ("sdr", "sir", "sar"):
+        assert np.isfinite(got[key]).all(), (key, got[key])
+    assert (got["sir"] > 40).all()
+    np.testing.assert_array_equal(got["perm"], [[1, 0], [1, 0]])
