@@ -26,7 +26,12 @@ CONFIGS = {
     "u16_512": dict(out_channels=256, in_channels=512, num_blocks=16,
                     upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
                     num_sources=2),
-    "u36_2048": dict(out_channels=512, in_channels=2048, num_blocks=36,
+    # the zoo's published-shape U36/2048 (23.1M params, BENCHMARKS.md)
+    "u36_2048": dict(out_channels=512, in_channels=512, num_blocks=36,
+                     upsampling_depth=5, enc_kernel_size=21,
+                     enc_num_basis=2048, num_sources=2),
+    # 4x-wider blocks (69M params): the matmul-dominated regime
+    "u36_wide": dict(out_channels=512, in_channels=2048, num_blocks=36,
                      upsampling_depth=5, enc_kernel_size=21,
                      enc_num_basis=2048, num_sources=2),
 }
@@ -66,19 +71,23 @@ def main():
         x = jax.random.normal(jax.random.key(2), (bs, 1, t), jnp.float32)
         xb = x.astype(jnp.bfloat16)
         rows = {
-            "fp32_fma": (lambda c: improved_forward_fast(
-                params, c, impl="fma", **fwd_kw), x, None),
-            "bf16_conv": (lambda c: model.apply({"params": pbf}, c).astype(
-                jnp.bfloat16), xb, fid_bf),
-            "int8": (lambda c: improved_forward_int8(qp, c), x, fid_q),
+            "fp32_fma": (lambda p, c: improved_forward_fast(
+                p, c, impl="fma", **fwd_kw), params, x, None),
+            "bf16_conv": (lambda p, c: model.apply({"params": p}, c).astype(
+                jnp.bfloat16), pbf, xb, fid_bf),
+            "int8": (lambda p, c: improved_forward_int8(p, c), qp, x, fid_q),
         }
-        for name, (fwd, inp, fid) in rows.items():
-            def step(c, fwd=fwd):
-                y = fwd(c)
-                return (jnp.sum(y, axis=1, keepdims=True) * 0.1).astype(
+        for name, (fwd, p0, inp, fid) in rows.items():
+            # params ride in the loop carry (passed as device buffers); a
+            # closure would inline the 23M U36 params as HLO constants and
+            # blow the relay's compile-request size limit (HTTP 413)
+            def step(carry, fwd=fwd):
+                p, c = carry
+                y = fwd(p, c)
+                return p, (jnp.sum(y, axis=1, keepdims=True) * 0.1).astype(
                     c.dtype) + c * 0.9
 
-            secs = timed_loop(step, inp, n_hi=args.n_hi)
+            secs = timed_loop(step, (p0, inp), n_hi=args.n_hi)
             row = {
                 "config": args.config, "bs": bs, "path": name,
                 "ms_per_batch": round(secs * 1e3, 2),
