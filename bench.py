@@ -94,9 +94,12 @@ def main():
 
     gated = fidelity_db >= FIDELITY_GATE_DB and max_au > cons_au
     value = max_au if gated else cons_au
+    # fidelity of the SELECTED config vs fp32-exact (the conservative row IS
+    # the exact path); inf encoded as None for JSON consumers
+    headline_fid = fidelity_db if gated else None
     config = "bs8_bf16_conv" if gated else "bs4_fp32_fma"
     if int8_fid >= INT8_GATE_DB and int8_au > value:
-        value, config = int8_au, "bs8_int8"
+        value, config, headline_fid = int8_au, "bs8_int8", int8_fid
     print(
         json.dumps(
             {
@@ -105,6 +108,11 @@ def main():
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(value / BASELINE_AU_S, 3),
                 "config": config,
+                # fidelity (dB vs fp32-exact) of the config 'value' came
+                # from; null == exact fp32 numerics
+                "headline_fidelity_db": (
+                    round(headline_fid, 1) if headline_fid is not None else None
+                ),
                 "bf16_fidelity_db": round(fidelity_db, 1),
                 "fidelity_gate_db": FIDELITY_GATE_DB,
                 "conservative_bs4_fp32": round(cons_au, 2),

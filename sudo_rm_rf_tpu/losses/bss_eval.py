@@ -62,11 +62,15 @@ def bss_eval_sources(
     num = cross**2 / (t_powers[:, None, :] + eps)  # ||s_target||^2 (B,e,j)
 
     def db(x, y):
-        # the error-energy terms are mathematically >= 0 but roundoff can
-        # push them slightly negative when a component is ~absent (e.g.
-        # near-zero interference -> proj_energy ~ num), which would NaN
-        # the log; clamp before stabilizing
-        return 10.0 * jnp.log10((x + eps) / (jnp.maximum(y, 0.0) + eps))
+        # every energy term here is mathematically >= 0 but roundoff can
+        # push any of them slightly negative when a component is ~absent
+        # (near-zero interference -> proj_energy ~ num; an estimate nearly
+        # orthogonal to the target span -> proj_energy itself, computed via
+        # linalg.solve, can go negative), which would NaN the log; clamp
+        # both numerator and denominator before stabilizing
+        return 10.0 * jnp.log10(
+            (jnp.maximum(x, 0.0) + eps) / (jnp.maximum(y, 0.0) + eps)
+        )
 
     sdr_pair = db(num, e_powers[:, :, None] - num)
     sir_pair = db(num, proj_energy[:, :, None] - num)

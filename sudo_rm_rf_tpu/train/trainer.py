@@ -24,6 +24,7 @@ from typing import Any, Callable, Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -152,17 +153,18 @@ class Trainer:
 
     # -- state ---------------------------------------------------------------
 
-    def init_state(self, key: jax.Array, sample_mixture: jax.Array) -> TrainState:
-        params = self.model.init(key, sample_mixture)["params"]
-        if self.config.shard_params and self.mesh.shape[
-            "model"
-        ] > 1:
+    def _shard_params(self, params):
+        """Place params per config: TP-sharded over the model axis when
+        shard_params is on (matching init_state), replicated otherwise."""
+        if self.config.shard_params and self.mesh.shape["model"] > 1:
             from sudo_rm_rf_tpu.parallel.mesh import tp_param_shardings
 
             shardings = tp_param_shardings(params, self.mesh)
-            params = jax.tree.map(jax.device_put, params, shardings)
-        else:
-            params = jax.device_put(params, self._repl)
+            return jax.tree.map(jax.device_put, params, shardings)
+        return jax.device_put(params, self._repl)
+
+    def init_state(self, key: jax.Array, sample_mixture: jax.Array) -> TrainState:
+        params = self._shard_params(self.model.init(key, sample_mixture)["params"])
         # jit so optimizer moments inherit the params' shardings
         opt_state = jax.jit(self.tx.init)(params)
         return TrainState(
@@ -170,9 +172,11 @@ class Trainer:
         )
 
     def state_from_params(self, params) -> TrainState:
-        params = jax.device_put(params, self._repl)
+        params = self._shard_params(params)
         return TrainState(
-            step=jnp.zeros((), jnp.int32), params=params, opt_state=self.tx.init(params)
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=jax.jit(self.tx.init)(params),
         )
 
     # -- steps ---------------------------------------------------------------
@@ -251,9 +255,17 @@ class Trainer:
 
     def _put_batch(self, tree):
         n_data = self.mesh.shape[DATA_AXIS]
+        multiprocess = jax.process_count() > 1
 
         def put(x):
             x = jnp.asarray(x)
+            if multiprocess:
+                # each process feeds its LOCAL shard of the global batch;
+                # assemble the global sharded array across hosts (DCN path,
+                # SURVEY.md section 2.7 multi-node row)
+                return jax.make_array_from_process_local_data(
+                    self._batch_sh, np.asarray(x)
+                )
             if x.shape[0] % n_data:
                 raise ValueError(
                     f"batch size {x.shape[0]} must be divisible by the data-"

@@ -204,6 +204,29 @@ def test_tensor_parallel_matches_replicated():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_state_from_params_respects_tp_sharding():
+    """state_from_params must place params exactly like init_state (TP
+    shardings when shard_params=True), so resuming a TP run from bare
+    params doesn't silently replicate (round-2 VERDICT weak #7)."""
+    model = models.SuDORMRFImproved(**TINY)
+    mesh = make_mesh(n_model=2)
+    trainer = Trainer(
+        model, TrainerConfig(shard_params=True),
+        prepare_batch=lambda key, b: (b.sum(1, keepdims=True), b), mesh=mesh,
+    )
+    ref_state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+    bare = jax.tree.map(np.asarray, jax.device_get(ref_state.params))
+    state = trainer.state_from_params(bare)
+    for got, want in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(ref_state.params)
+    ):
+        assert got.sharding == want.sharding, (got.sharding, want.sharding)
+    # and the step runs on the resumed state
+    src = _sources(b=8, t=1024, seed=21)
+    state, metrics = trainer.train_step(state, jnp.array(src), jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_compute_tp_training_matches_replicated():
     """Compute TP (activation channel sharding, block_impl='fma'): a
     (data=2, model=4) train step reproduces the replicated step — GSPMD
