@@ -107,8 +107,12 @@ class ModelConfig:
             if tp_mesh is not None:
                 kwargs.update(tp_mesh=tp_mesh)
         if self.model_type == "groupcomm_v2":
+            # 'fma' maps to the group-merged FMA blocks (same params); any
+            # other value falls back to the behavioral-reference blocks
             kwargs.update(group_size=self.group_size,
-                          in_audio_channels=self.in_audio_channels)
+                          in_audio_channels=self.in_audio_channels,
+                          block_impl=self.block_impl,
+                          remat_blocks=self.remat_blocks)
         elif self.model_type == "causal":
             kwargs.update(in_audio_channels=self.in_audio_channels)
         elif self.model_type.startswith("attention"):

