@@ -1,13 +1,20 @@
-"""Quantized-serving sweep: int8 vs bf16 vs fp32 across model scales.
+"""Quantized-serving sweep: int8 (dynamic + static-calibrated) vs bf16/fp32.
 
 The int8 path (models/quantized.py) accelerates the 1x1 MXU matmuls
 (bottleneck, per-block proj/res, mask head). At U16/512 those are ~60% of
-FLOPs and the bf16 tiling sweet spot wins (BENCHMARKS.md); this script
-measures where the balance flips as `in_channels`/`enc_num_basis` grow and
-the matmuls dominate.
+FLOPs; this script measures where the balance flips as `in_channels`/
+`enc_num_basis` grow and the matmuls dominate, and compares the dynamic
+per-matmul absmax pass against static calibrated activation scales
+(`calibrate_improved_scales`, round-3 VERDICT item 5).
 
 Usage:
-    python scripts/bench_quantized.py [--config u16_512|u36_2048] [--bs 4 8]
+    python scripts/bench_quantized.py [--config u16_512|u36_2048|u36_wide]
+        [--bs 4 8] [--families proj res ...] [--attribute]
+
+--families: quantize only those matmul families (mixed int8/bf16 configs
+for wide models where one family dominates the int8 error; VERDICT item
+10). --attribute: additionally print one fidelity row per single-family
+quantization, locating which family costs the dB.
 
 Prints one JSON line per (config, bs, path) row with ms/batch, au-s/s and
 fidelity vs the fp32 fma output.
@@ -43,22 +50,28 @@ def main():
     ap.add_argument("--config", default="u36_2048", choices=sorted(CONFIGS))
     ap.add_argument("--bs", type=int, nargs="+", default=[4])
     ap.add_argument("--n_hi", type=int, default=21)
+    ap.add_argument("--families", nargs="+", default=None,
+                    help="matmul families to quantize (default: all)")
+    ap.add_argument("--attribute", action="store_true",
+                    help="per-family fidelity attribution rows (no timing)")
     args = ap.parse_args()
 
     from sudo_rm_rf_tpu import models
     from sudo_rm_rf_tpu.models.fast_inference import improved_forward_fast
     from sudo_rm_rf_tpu.models.quantized import (
-        fidelity_db, improved_forward_int8, quantize_improved_params,
+        ALL_FAMILIES, calibrate_improved_scales, fidelity_db,
+        improved_forward_int8, quantize_improved_params,
     )
     from sudo_rm_rf_tpu.utils.benchmark import timed_loop
 
     hp = CONFIGS[args.config]
     t = int(SECONDS * SR)
+    families = tuple(args.families) if args.families else ALL_FAMILIES
     model = models.SuDORMRFImproved(**hp)
     x1 = jax.random.normal(jax.random.key(1), (1, 1, t), jnp.float32)
     params = model.init(jax.random.key(0), x1)["params"]
     pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    qp = quantize_improved_params(params)
+    qp = quantize_improved_params(params, families=families)
     fwd_kw = dict(num_blocks=hp["num_blocks"], upsampling_depth=5,
                   enc_kernel_size=21, num_sources=2)
 
@@ -66,6 +79,21 @@ def main():
     fid_bf = fidelity_db(ref1, np.asarray(
         model.apply({"params": pbf}, x1.astype(jnp.bfloat16))))
     fid_q = fidelity_db(ref1, np.asarray(improved_forward_int8(qp, x1)))
+    # calibrate on a DIFFERENT batch than the fidelity probe (held-out
+    # scales are the honest configuration users would run)
+    calib = jax.random.normal(jax.random.key(7), (4, 1, t), jnp.float32)
+    scales = calibrate_improved_scales(qp, calib)
+    fid_qs = fidelity_db(
+        ref1, np.asarray(improved_forward_int8(qp, x1, scales=scales)))
+
+    if args.attribute:
+        for fam in ALL_FAMILIES:
+            qf = quantize_improved_params(params, families=(fam,))
+            fid = fidelity_db(ref1, np.asarray(improved_forward_int8(qf, x1)))
+            print(json.dumps({
+                "config": args.config, "attribute_family": fam,
+                "fidelity_db_vs_fp32": round(fid, 1),
+            }), flush=True)
 
     for bs in args.bs:
         x = jax.random.normal(jax.random.key(2), (bs, 1, t), jnp.float32)
@@ -76,6 +104,8 @@ def main():
             "bf16_conv": (lambda p, c: model.apply({"params": p}, c).astype(
                 jnp.bfloat16), pbf, xb, fid_bf),
             "int8": (lambda p, c: improved_forward_int8(p, c), qp, x, fid_q),
+            "int8_static": (lambda p, c: improved_forward_int8(
+                p, c, scales=scales), qp, x, fid_qs),
         }
         for name, (fwd, p0, inp, fid) in rows.items():
             # params ride in the loop carry (passed as device buffers); a
@@ -93,6 +123,8 @@ def main():
                 "ms_per_batch": round(secs * 1e3, 2),
                 "au_s_per_s": round(bs * SECONDS / secs, 1),
             }
+            if families != ALL_FAMILIES:
+                row["families"] = list(families)
             if fid is not None:
                 row["fidelity_db_vs_fp32"] = round(fid, 1)
             print(json.dumps(row), flush=True)

@@ -43,15 +43,32 @@ def quantize_weight_per_channel(w: jax.Array) -> dict:
     return {"q": q.astype(jnp.int8), "s": s}
 
 
-def _mm_int8(w: dict, v: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
+def _mm_int8(w, v: jax.Array, out_dtype=jnp.bfloat16, scale=None,
+             collect=None) -> jax.Array:
     """out[b,o,t] = sum_c w[o,c] v[b,c,t] through int8 MXU dots.
 
-    w: {'q': (O, C) int8, 's': (O,) f32}. v: (B, C, T) any float dtype.
-    Dynamic per-batch-element activation scale; int32 accumulation.
+    w: {'q': (O, C) int8, 's': (O,) f32} — or a plain (O, C) float array,
+    which runs the unquantized einsum (the per-family bf16 fallback for
+    mixed int8/bf16 configs). v: (B, C, T) any float dtype.
+
+    scale: None -> dynamic per-batch-element activation absmax (an extra
+    full read + reduce of v per matmul); a scalar array -> STATIC
+    calibrated absmax (the quantize fuses into v's producer, no reduction
+    pass — `calibrate_improved_scales`). int32 accumulation either way.
+
+    collect: optional list; when set, the observed absmax of v is appended
+    during tracing (the calibration pass returns these as outputs).
     """
+    if not isinstance(w, dict):
+        return jnp.einsum("oc,bct->bot", w, v).astype(out_dtype)
     v32 = v.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(v32), axis=(1, 2), keepdims=True)
-    s_x = jnp.maximum(amax, 1e-12) / 127.0
+    if collect is not None:
+        collect.append(jnp.max(jnp.abs(v32)))
+    if scale is None:
+        amax = jnp.max(jnp.abs(v32), axis=(1, 2), keepdims=True)
+        s_x = jnp.maximum(amax, 1e-12) / 127.0
+    else:
+        s_x = jnp.maximum(jnp.asarray(scale, jnp.float32), 1e-12) / 127.0
     vq = jnp.clip(jnp.round(v32 / s_x), -127, 127).astype(jnp.int8)
     y = jnp.einsum(
         "oc,bct->bot", w["q"], vq, preferred_element_type=jnp.int32
@@ -59,23 +76,53 @@ def _mm_int8(w: dict, v: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
     return (y.astype(jnp.float32) * (w["s"][None, :, None] * s_x)).astype(out_dtype)
 
 
-def quantize_improved_params(params: dict, compute_dtype=jnp.bfloat16) -> dict:
+ALL_FAMILIES = ("bottleneck", "proj", "res", "mask")
+
+
+def quantize_improved_params(params: dict, compute_dtype=jnp.bfloat16,
+                             families=ALL_FAMILIES) -> dict:
     """Build the int8 serving tree from the flax 'params' of SuDORMRFImproved.
 
     1x1 matmul weights (bottleneck, per-block proj/res, mask head) become
     {'q', 's'} int8 dicts; everything else is cast to ``compute_dtype``
     except normalization affines, which glob_ln reads through fp32 stats
     anyway. Do this once at load time, outside jit.
+
+    families: which matmul families to quantize (subset of ALL_FAMILIES);
+    the rest keep float weights and run the plain einsum — mixed int8/bf16
+    configs for wide models where one family dominates the int8 error.
     """
     cdt = jnp.dtype(compute_dtype)
+    required = {"encoder", "ln", "bottleneck", "mask_net_0", "mask_net_1",
+                "decoder", "sm_0"}
+    missing = required - set(params)
+    # GroupComm shares the top-level names but its blocks are TAC+UBlock
+    # subtrees, not the improved proj_1x1/spp_dw ladder
+    if not missing and "proj_1x1" not in params["sm_0"]:
+        missing = {"sm_0/proj_1x1"}
+    if missing:
+        raise ValueError(
+            "quantize_improved_params expects the flax 'params' tree of "
+            "SuDORMRFImproved (top-level keys encoder/ln/bottleneck/sm_i/"
+            f"mask_net_*/decoder, blocks with proj_1x1); missing: "
+            f"{sorted(missing)}. GroupComm/v1/causal trees are not supported "
+            "by the int8 serving path."
+        )
     num_blocks = len([k for k in params if k.startswith("sm_")])
+
+    def maybe_q(w, family):
+        w = jnp.asarray(w)
+        if family in families:
+            return quantize_weight_per_channel(w)
+        return w.astype(cdt)
+
     blocks = []
     for i in range(num_blocks):
         kp = dict(params_from_flax(params[f"sm_{i}"]))
         # proj_w is stored (Ci, Co) and consumed as (O=Ci, C=Co); res_w is
         # (Co, Ci) consumed as (O=Co, C=Ci) — both already (O, C).
-        kp["proj_w"] = quantize_weight_per_channel(kp["proj_w"])
-        kp["res_w"] = quantize_weight_per_channel(kp["res_w"])
+        kp["proj_w"] = maybe_q(kp["proj_w"], "proj")
+        kp["res_w"] = maybe_q(kp["res_w"], "res")
         for k, v in kp.items():
             if k not in ("proj_w", "res_w"):
                 kp[k] = jnp.asarray(v).astype(cdt)
@@ -84,41 +131,57 @@ def quantize_improved_params(params: dict, compute_dtype=jnp.bfloat16) -> dict:
         "encoder": jnp.asarray(params["encoder"]["weight"]).astype(cdt),
         "ln_gamma": jnp.asarray(params["ln"]["gamma"]).astype(cdt),
         "ln_beta": jnp.asarray(params["ln"]["beta"]).astype(cdt),
-        "bottleneck_w": quantize_weight_per_channel(
-            params["bottleneck"]["weight"][:, :, 0]
+        "bottleneck_w": maybe_q(
+            params["bottleneck"]["weight"][:, :, 0], "bottleneck"
         ),
         "bottleneck_b": jnp.asarray(params["bottleneck"]["bias"]).astype(cdt),
         "blocks": blocks,
         "mask_slope": jnp.asarray(params["mask_net_0"]["weight"][0]).astype(cdt),
-        "mask_w": quantize_weight_per_channel(
-            params["mask_net_1"]["weight"][:, :, 0]
-        ),
+        "mask_w": maybe_q(params["mask_net_1"]["weight"][:, :, 0], "mask"),
         "mask_b": jnp.asarray(params["mask_net_1"]["bias"]).astype(cdt),
         "decoder": jnp.asarray(params["decoder"]["weight"]).astype(cdt),
     }
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("upsampling_depth", "enc_kernel_size", "num_sources",
-                     "compute_dtype"),
-)
-def improved_forward_int8(
+def _forward_int8_impl(
     qparams: dict,
     input_wav: jax.Array,
-    upsampling_depth: int = 5,
-    enc_kernel_size: int = 21,
-    num_sources: int = 2,
-    compute_dtype: str = "bfloat16",
-) -> jax.Array:
-    """Int8 serving forward over a `quantize_improved_params` tree.
+    upsampling_depth: int,
+    enc_kernel_size: int,
+    num_sources: int,
+    cdt,
+    scales: dict = None,
+    collector: dict = None,
+):
+    """Shared int8 forward. scales: optional static activation-absmax tree
+    {'bottleneck': (), 'proj': (R,), 'res': (R,), 'mask': ()} from
+    `calibrate_improved_scales`; None -> dynamic scales. collector: optional
+    dict of lists filled with observed absmax tracers (calibration pass)."""
 
-    Same dataflow as `fast_inference.improved_forward_fast` (impl='fma');
-    the four 1x1 matmul families run int8 on the MXU, the rest runs in
-    ``compute_dtype`` with fp32 normalization statistics. Output fp32.
-    """
-    cdt = jnp.dtype(compute_dtype)
-    mm = functools.partial(_mm_int8, out_dtype=cdt)
+    def site(family, i=None):
+        col = None if collector is None else collector[family]
+
+        def mm(w, v):
+            if not isinstance(w, dict):  # unquantized family: plain einsum
+                return _mm_int8(w, v, out_dtype=cdt)
+            sc = None
+            if scales is not None:
+                sc = scales[family] if i is None else scales[family][i]
+            return _mm_int8(w, v, out_dtype=cdt, scale=sc, collect=col)
+
+        return mm
+
+    def block_mm(kp, i):
+        proj, res = site("proj", i), site("res", i)
+
+        def mm(w, v):
+            if w is kp["proj_w"]:
+                return proj(w, v)
+            if w is kp["res_w"]:
+                return res(w, v)
+            return _mm_int8(w, v, out_dtype=cdt)
+
+        return mm
 
     if input_wav.ndim == 2:
         input_wav = input_wav[:, None, :]
@@ -133,13 +196,14 @@ def improved_forward_int8(
     )
     s = x
     x = ops.glob_ln(x, qparams["ln_gamma"], qparams["ln_beta"])
-    x = mm(qparams["bottleneck_w"], x) + qparams["bottleneck_b"][None, :, None]
+    x = site("bottleneck")(qparams["bottleneck_w"], x) \
+        + qparams["bottleneck_b"][None, :, None]
 
-    for kp in qparams["blocks"]:
-        x = uconv_block_fma(x, kp, upsampling_depth, matmul=mm)
+    for i, kp in enumerate(qparams["blocks"]):
+        x = uconv_block_fma(x, kp, upsampling_depth, matmul=block_mm(kp, i))
 
     x = jnp.where(x >= 0, x, qparams["mask_slope"] * x)
-    x = mm(qparams["mask_w"], x) + qparams["mask_b"][None, :, None]
+    x = site("mask")(qparams["mask_w"], x) + qparams["mask_b"][None, :, None]
     b = x.shape[0]
     x = x.reshape(b, num_sources, enc_num_basis, -1)
     x = jax.nn.relu(x)
@@ -153,6 +217,76 @@ def improved_forward_int8(
         output_padding=(enc_kernel_size // 2) - 1,
     )
     return ops.unpad_to_length(est, in_len).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("upsampling_depth", "enc_kernel_size", "num_sources",
+                     "compute_dtype"),
+)
+def improved_forward_int8(
+    qparams: dict,
+    input_wav: jax.Array,
+    upsampling_depth: int = 5,
+    enc_kernel_size: int = 21,
+    num_sources: int = 2,
+    compute_dtype: str = "bfloat16",
+    scales: dict = None,
+) -> jax.Array:
+    """Int8 serving forward over a `quantize_improved_params` tree.
+
+    Same dataflow as `fast_inference.improved_forward_fast` (impl='fma');
+    the quantized 1x1 matmul families run int8 on the MXU, the rest runs in
+    ``compute_dtype`` with fp32 normalization statistics. Output fp32.
+
+    scales: optional STATIC calibrated activation scales (from
+    `calibrate_improved_scales`) — removes the dynamic per-matmul absmax
+    reduction pass; None keeps the dynamic path.
+    """
+    return _forward_int8_impl(
+        qparams, input_wav, upsampling_depth, enc_kernel_size, num_sources,
+        jnp.dtype(compute_dtype), scales=scales,
+    )
+
+
+def calibrate_improved_scales(
+    qparams: dict,
+    calib_wav: jax.Array,
+    upsampling_depth: int = 5,
+    enc_kernel_size: int = 21,
+    num_sources: int = 2,
+    compute_dtype: str = "bfloat16",
+    margin: float = 1.0,
+) -> dict:
+    """Record per-site activation absmax on a calibration batch.
+
+    Returns the static-scales tree `improved_forward_int8(..., scales=...)`
+    consumes: one scalar per quantized matmul site (per-tensor symmetric),
+    multiplied by ``margin`` (>1 leaves headroom for louder inputs; values
+    past the scale saturate to +-127 rather than wrap). Run once at load
+    time on a representative batch; the torch reference has no serving
+    quantization at all (`simple_whamr_evaluation.py:138-151`).
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(qp, x):
+        collector = {"bottleneck": [], "proj": [], "res": [], "mask": []}
+        _forward_int8_impl(
+            qp, x, upsampling_depth, enc_kernel_size, num_sources,
+            jnp.dtype(compute_dtype), collector=collector,
+        )
+        out = {}
+        for k, v in collector.items():
+            if not v:
+                out[k] = jnp.zeros((0,))
+            elif len(v) == 1:
+                out[k] = v[0]
+            else:
+                out[k] = jnp.stack(v)
+        return out
+
+    observed = run(qparams, jnp.asarray(calib_wav))
+    return jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) * margin, observed)
 
 
 def fidelity_db(ref: jax.Array, est: jax.Array) -> float:

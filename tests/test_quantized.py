@@ -74,6 +74,105 @@ def test_improved_forward_int8_fidelity():
     assert snr > 15.0, snr
 
 
+def test_static_calibrated_scales_match_dynamic():
+    """Static (calibrated) activation scales reproduce the dynamic-scale
+    output on the calibration batch itself (bs1: the dynamic per-batch
+    scale equals the recorded absmax), and stay within int8 physics of the
+    exact forward on fresh inputs."""
+    from sudo_rm_rf_tpu.models.quantized import calibrate_improved_scales
+
+    hp = dict(out_channels=32, in_channels=64, num_blocks=3, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=24, num_sources=2)
+    model = models.SuDORMRFImproved(**hp)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 1, 1286)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)["params"]
+    qp = quantize_improved_params(params)
+
+    scales = calibrate_improved_scales(qp, x, upsampling_depth=3,
+                                       enc_kernel_size=21, num_sources=2)
+    assert scales["proj"].shape == (3,) and scales["res"].shape == (3,)
+    assert scales["bottleneck"].shape == () and scales["mask"].shape == ()
+    assert all(float(jnp.min(v)) > 0 for v in jax.tree.leaves(scales))
+
+    dyn = np.asarray(improved_forward_int8(qp, x, upsampling_depth=3,
+                                           enc_kernel_size=21, num_sources=2))
+    sta = np.asarray(improved_forward_int8(qp, x, upsampling_depth=3,
+                                           enc_kernel_size=21, num_sources=2,
+                                           scales=scales))
+    # same quantization grid on the calibration input -> identical outputs
+    np.testing.assert_allclose(sta, dyn, rtol=1e-5, atol=1e-6)
+
+    # fresh input: static scales clip outliers but must stay in int8 physics
+    x2 = jnp.asarray(rng.standard_normal((2, 1, 1286)).astype(np.float32))
+    want = np.asarray(
+        improved_forward_fast(params, x2, num_blocks=3, upsampling_depth=3,
+                              enc_kernel_size=21, num_sources=2)
+    )
+    got = np.asarray(improved_forward_int8(qp, x2, upsampling_depth=3,
+                                           enc_kernel_size=21, num_sources=2,
+                                           scales=scales))
+    assert fidelity_db(want, got) > 13.0  # untrained-params adversarial case
+
+
+def test_mixed_family_quantization():
+    """Partial quantization (families subset) runs and is at least as
+    faithful as full int8 on the same inputs."""
+    hp = dict(out_channels=32, in_channels=64, num_blocks=3, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=24, num_sources=2)
+    model = models.SuDORMRFImproved(**hp)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 1, 1286)).astype(np.float32))
+    params = model.init(jax.random.key(1), x)["params"]
+    want = np.asarray(
+        improved_forward_fast(params, x, num_blocks=3, upsampling_depth=3,
+                              enc_kernel_size=21, num_sources=2)
+    )
+
+    full = quantize_improved_params(params)
+    mixed = quantize_improved_params(params, families=("proj", "res"))
+    assert not isinstance(mixed["bottleneck_w"], dict)
+    assert not isinstance(mixed["mask_w"], dict)
+    assert isinstance(mixed["blocks"][0]["proj_w"], dict)
+
+    fid_full = fidelity_db(want, np.asarray(improved_forward_int8(
+        full, x, upsampling_depth=3, enc_kernel_size=21, num_sources=2)))
+    fid_mixed = fidelity_db(want, np.asarray(improved_forward_int8(
+        mixed, x, upsampling_depth=3, enc_kernel_size=21, num_sources=2)))
+    assert fid_mixed > fid_full - 1.0, (fid_mixed, fid_full)
+
+    # calibration composes with mixed families (empty sites are fine)
+    from sudo_rm_rf_tpu.models.quantized import calibrate_improved_scales
+
+    scales = calibrate_improved_scales(mixed, x, upsampling_depth=3,
+                                       enc_kernel_size=21, num_sources=2)
+    assert scales["bottleneck"].shape == (0,)
+    got = np.asarray(improved_forward_int8(
+        mixed, x, upsampling_depth=3, enc_kernel_size=21, num_sources=2,
+        scales=scales))
+    assert fidelity_db(want, got) > 13.0
+
+
+def test_quantize_rejects_foreign_param_trees():
+    """A GroupComm/v1 tree must fail fast with a clear message, not a deep
+    KeyError (round-2 ADVICE)."""
+    import pytest
+
+    gc = models.GroupCommSuDORMRF(
+        out_channels=32, in_channels=64, num_blocks=1, upsampling_depth=3,
+        enc_kernel_size=21, enc_num_basis=24, num_sources=2, group_size=4,
+    )
+    x = jnp.zeros((1, 1, 661))
+    params = gc.init(jax.random.key(0), x)["params"]
+    # GC shares the top-level key names; the mismatch is the block subtree
+    with pytest.raises(ValueError, match="SuDORMRFImproved"):
+        quantize_improved_params(params)
+    # a missing top-level key is also caught
+    with pytest.raises(ValueError, match="mask_net_0"):
+        quantize_improved_params({k: v for k, v in params.items()
+                                  if k != "mask_net_0"})
+
+
 def test_improved_forward_int8_deterministic():
     hp = dict(out_channels=32, in_channels=64, num_blocks=2, upsampling_depth=3,
               enc_kernel_size=21, enc_num_basis=24, num_sources=2)
