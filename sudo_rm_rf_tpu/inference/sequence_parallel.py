@@ -498,6 +498,164 @@ def _gc_seq_forward_shard(
     return out.astype(jnp.float32)
 
 
+def causal_halo_frames(num_blocks: int, depth: int) -> int:
+    """Receptive-field radius of the CAUSAL model in encoder frames.
+
+    The causal ladder uses k=21 'same' convs whose future taps are weight-
+    masked (`causal_sudormrf.py`), so the reach is one-sided: 10 frames at
+    level 0 plus 10*2^k for each stride-2 level -> 10*(2^depth - 1) per
+    block, + encoder/decoder slack. A symmetric halo of this radius is used
+    (the future side is cheap and keeps the shard layout shared with the
+    other families). Rounded up to a multiple of 2^(depth-1).
+    """
+    r = num_blocks * 10 * (2 ** depth) + 8
+    q = 2 ** (depth - 1)
+    return -(-r // q) * q
+
+
+def _causal_seq_forward_shard(
+    params,
+    x_shard,  # (B, owned_samples)
+    *,
+    num_blocks,
+    depth,
+    enc_kernel_size,
+    num_sources,
+    n_shards,
+    halo_frames,
+    compute_dtype,
+    axis=SEQ_AXIS,
+):
+    """Causal SuDoRM-RF per-shard body under shard_map.
+
+    Norm-free (NF-net skip-init, `causal_sudormrf.py`), so NO collective
+    statistics are needed at all — the only ICI traffic is the one halo
+    ppermute of raw samples. Causal weight masks are applied to the raw
+    params exactly as the flax module does; out-of-global frames are zero-
+    masked before every spatial conv (the boundary discipline shared with
+    `_seq_forward_shard`).
+    """
+    from sudo_rm_rf_tpu.models.causal_sudormrf import _causal_mask
+
+    stride = enc_kernel_size // 2
+    halo_s = halo_frames * stride
+    b, owned_s = x_shard.shape
+    if owned_s < halo_s:
+        raise ValueError(
+            f"per-shard length {owned_s} < halo {halo_s}: pad the input or "
+            "shrink halo_frames"
+        )
+    owned_f = owned_s // stride
+    t_f_global = n_shards * owned_f
+
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        params = jax.tree.map(lambda v: v.astype(cdt), params)
+        x_shard = x_shard.astype(cdt)
+
+    xloc = _halo_exchange(x_shard, halo_s, axis, n_shards)
+    f_local = owned_f + 2 * halo_frames
+    masks = _level_masks(
+        depth, f_local, owned_f, halo_frames, t_f_global, axis, x_shard.dtype
+    )
+
+    def cconv(v, sub, stride=1, padding=0, groups=1):
+        w = sub["weight"]
+        w = w * _causal_mask(w.shape[-1], w.dtype)[None, None, :]
+        return ops.conv1d(v, w, sub.get("bias"), stride=stride,
+                          padding=padding, groups=groups)
+
+    def prelu(sub, v):
+        return jnp.where(v >= 0, v, sub["weight"][0] * v)
+
+    enc_num_basis = params["encoder"]["weight"].shape[0]
+    enc_k = params["encoder"]["weight"].shape[-1]  # 2L-1
+    x = cconv(xloc, params["encoder"], stride=stride, padding=(enc_k - 1) // 2)
+    x = x * masks[0]
+    x = cconv(x, params["bottleneck"])
+
+    ci = params["sm_0"]["proj_1x1"]["conv"]["weight"].shape[0]
+    for blk in range(num_blocks):
+        bp = params[f"sm_{blk}"]
+        residual = x
+        y = prelu(bp["proj_1x1"]["act"], cconv(x, bp["proj_1x1"]["conv"]))
+
+        pyramid = []
+        cur = y
+        for k in range(depth):
+            sub = bp[f"spp_dw_{k}"]
+            cur = cconv(
+                cur * masks[k if k == 0 else k - 1], sub["conv"],
+                stride=1 if k == 0 else 2, padding=10, groups=ci,
+            )
+            cur = prelu(sub["act"], cur)
+            pyramid.append(cur)
+
+        acc = pyramid[-1]
+        for k in range(depth - 2, -1, -1):
+            acc = pyramid[k] + ops.upsample_nearest_2x(acc)
+
+        out = cconv(acc, bp["res_conv"])
+        x = out * bp["skipinit_gain"] + residual
+
+    x = prelu(params["mask_net_0"], x)
+    x = cconv(x, params["mask_net_1"])
+    x = x.reshape(b, num_sources, enc_num_basis, -1)
+    x = prelu(params["mask_nl_class"], x)
+
+    est = ops.conv_transpose1d(
+        (x * masks[0][:, None]).reshape(b, num_sources * enc_num_basis, -1),
+        params["decoder"]["weight"],
+        stride=stride,
+        padding=stride,
+        output_padding=stride - 1,
+    )
+    out = lax.slice_in_dim(est, halo_s, halo_s + owned_s, axis=2)
+    return out.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "num_blocks", "depth", "enc_kernel_size", "num_sources",
+        "halo_frames", "compute_dtype",
+    ),
+)
+def causal_forward_seq(
+    params,
+    input_wav,  # (B, T), T shard-aligned
+    mesh: Mesh,
+    num_blocks: int = 16,
+    depth: int = 4,
+    enc_kernel_size: int = 21,
+    num_sources: int = 2,
+    halo_frames: Optional[int] = None,
+    compute_dtype: Optional[str] = None,
+):
+    """Time-sharded causal forward. Equals `CausalSuDORMRF.apply` on the
+    same input (tested); collective-free except the halo exchange."""
+    n_shards = mesh.shape[SEQ_AXIS]
+    if halo_frames is None:
+        halo_frames = causal_halo_frames(num_blocks, depth)
+    body = functools.partial(
+        _causal_seq_forward_shard,
+        num_blocks=num_blocks,
+        depth=depth,
+        enc_kernel_size=enc_kernel_size,
+        num_sources=num_sources,
+        n_shards=n_shards,
+        halo_frames=halo_frames,
+        compute_dtype=compute_dtype,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, SEQ_AXIS)),
+        out_specs=P(None, None, SEQ_AXIS),
+    )
+    return fn(params, input_wav)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -619,9 +777,11 @@ class SequenceParallelSeparator:
         model_type: str = "relu",
         group_size: int = 16,
     ):
-        if model_type not in ("relu", "groupcomm_v2"):
+        if model_type not in ("relu", "groupcomm_v2", "causal"):
             raise ValueError(
-                f"sequence parallelism supports 'relu'/'groupcomm_v2', "
+                f"sequence parallelism supports 'relu'/'groupcomm_v2'/"
+                f"'causal' (attentive models fall back to overlap-add: "
+                f"their global attention does not factor over time shards), "
                 f"got {model_type!r}"
             )
         self.model_type = model_type
@@ -632,11 +792,12 @@ class SequenceParallelSeparator:
         self.depth = upsampling_depth
         self.enc_kernel_size = enc_kernel_size
         self.num_sources = num_sources
-        self.halo_frames = (
-            halo_frames
-            if halo_frames is not None
-            else default_halo_frames(num_blocks, upsampling_depth)
-        )
+        if halo_frames is not None:
+            self.halo_frames = halo_frames
+        elif model_type == "causal":
+            self.halo_frames = causal_halo_frames(num_blocks, upsampling_depth)
+        else:
+            self.halo_frames = default_halo_frames(num_blocks, upsampling_depth)
         self.input_normalize = input_normalize
         self.mixture_consistency = mixture_consistency
         self.compute_dtype = compute_dtype
@@ -684,6 +845,8 @@ class SequenceParallelSeparator:
                 self.params, arr, self.mesh,
                 group_size=self.group_size, **kwargs,
             )
+        elif self.model_type == "causal":
+            est = causal_forward_seq(self.params, arr, self.mesh, **kwargs)
         else:
             est = improved_forward_seq(self.params, arr, self.mesh, **kwargs)
         est = np.asarray(est)[0, :, :t]
