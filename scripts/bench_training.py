@@ -1,0 +1,163 @@
+"""Training-step throughput sweep + attribution (round-3 VERDICT item 3).
+
+Sweeps the flagship U16/512 training step over batch {4, 8, 16} x dtype
+{fp32, bf16} x remat {off, on}, plus the GroupComm R16 training step with
+both block implementations ('xla' reference blocks vs the round-3 trainable
+'fma' blocks), all through the REAL Trainer step (augment + forward + PIT
+loss + grads + clip + Adam, donated). Also times the step's ablations
+(no-augment, forward-only, fwd+bwd without optimizer) at the best config to
+attribute where the time goes.
+
+Timing: chained on-device fori_loop with scalar readback (the repo-wide
+discipline, utils/benchmark.timed_loop).
+
+Usage: python scripts/bench_training.py [--quick]
+"""
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from sudo_rm_rf_tpu import models
+from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
+from sudo_rm_rf_tpu.utils.benchmark import timed_loop
+
+SR, SECS = 8000, 4.0
+T = int(SR * SECS)
+
+
+def time_train_step(model, bs, compute_dtype=None, n_hi=21, trainer_kw=None,
+                    loss_clamp=30.0, augment=True, optimizer=True):
+    cfg = TrainerConfig(
+        learning_rate=1e-3,
+        compute_dtype=compute_dtype,
+        loss_clamp=loss_clamp,
+        **(trainer_kw or {}),
+    )
+    prepare = None
+    if not augment:
+        prepare = lambda key, b: (b.sum(1, keepdims=True), b)
+    trainer = Trainer(model, cfg, prepare_batch=prepare)
+    batch = jax.random.normal(jax.random.key(1), (bs, 2, T), jnp.float32)
+    state = trainer.init_state(jax.random.key(0), jnp.zeros((bs, 1, T)))
+
+    if not optimizer:
+        # fwd+bwd only: value_and_grad of the trainer's exact loss
+        def step(carry):
+            st, b, key = carry
+            key, sub = jax.random.split(key)
+            mixture, targets = trainer.prepare_batch(sub, b)
+
+            def loss_of(p):
+                if compute_dtype:
+                    cdt = jnp.dtype(compute_dtype)
+                    pp = jax.tree.map(lambda a: a.astype(cdt), p)
+                    m = mixture.astype(cdt)
+                else:
+                    pp, m = p, mixture
+                est = trainer._forward(pp, m).astype(jnp.float32)
+                return trainer.loss_fn(est, targets)
+
+            loss, grads = jax.value_and_grad(loss_of)(st.params)
+            new_params = jax.tree.map(
+                lambda a, g: a - 0.0 * g, st.params, grads
+            )
+            return (st.replace(params=new_params), b, key)
+
+        secs = timed_loop(step, (state, batch, jax.random.key(2)), n_hi=n_hi)
+        return secs
+
+    def step(carry):
+        st, b, key = carry
+        key, sub = jax.random.split(key)
+        st, _ = trainer._train_step_impl(st, b, sub)
+        return (st, b, key)
+
+    secs = timed_loop(step, (state, batch, jax.random.key(2)), n_hi=n_hi)
+    return secs
+
+
+def row(name, secs, bs):
+    return {
+        "config": name,
+        "ms_per_step": round(secs * 1e3, 2),
+        "examples_per_sec": round(bs / secs, 1),
+        "audio_sec_per_sec": round(bs * SECS / secs, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="flagship bf16 rows + GC rows only")
+    ap.add_argument("--n_hi", type=int, default=21)
+    args = ap.parse_args()
+
+    u16 = dict(out_channels=256, in_channels=512, num_blocks=16,
+               upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
+               num_sources=2)
+    rows = []
+
+    sweep = []
+    for bs in (4, 8, 16):
+        for dt in (None, "bfloat16"):
+            if args.quick and (dt is None and bs != 8):
+                continue
+            sweep.append((bs, dt, False))
+    if not args.quick:
+        sweep.append((8, "bfloat16", True))  # remat leg at the sweet spot
+
+    for bs, dt, remat in sweep:
+        model = models.SuDORMRFImproved(**u16, block_impl="fma",
+                                        remat_blocks=remat)
+        name = (f"u16_fma_bs{bs}_{dt or 'fp32'}"
+                + ("_remat" if remat else ""))
+        try:
+            secs = time_train_step(model, bs, dt, n_hi=args.n_hi)
+        except Exception as e:  # OOM and relay-limit rows are data too
+            rows.append({"config": name, "error": repr(e)[:200]})
+            continue
+        rows.append(row(name, secs, bs))
+        print(json.dumps(rows[-1]))
+
+    # attribution at the winning flagship config
+    best = min((r for r in rows if "ms_per_step" in r),
+               key=lambda r: r["ms_per_step"] / r["examples_per_sec"])
+    bs = int(best["config"].split("_bs")[1].split("_")[0])
+    dt = "bfloat16" if "bfloat16" in best["config"] else None
+    model = models.SuDORMRFImproved(**u16, block_impl="fma")
+    for tag, kw in (
+        ("noaugment", dict(augment=False)),
+        ("noclamp", dict(loss_clamp=0.0)),
+        ("fwdbwd_only", dict(optimizer=False)),
+    ):
+        try:
+            secs = time_train_step(model, bs, dt, n_hi=args.n_hi, **kw)
+            rows.append(row(f"attrib_{tag}_bs{bs}_{dt or 'fp32'}", secs, bs))
+            print(json.dumps(rows[-1]))
+        except Exception as e:
+            rows.append({"config": f"attrib_{tag}", "error": repr(e)[:200]})
+
+    # GroupComm training step: reference blocks vs trainable fma blocks
+    gc = dict(out_channels=256, in_channels=512, num_blocks=16,
+              upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
+              num_sources=2, group_size=16)
+    for impl in ("xla", "fma"):
+        for bs, dt in ((8, None), (8, "bfloat16")):
+            model = models.GroupCommSuDORMRF(**gc, block_impl=impl)
+            name = f"gc_{impl}_bs{bs}_{dt or 'fp32'}"
+            try:
+                secs = time_train_step(model, bs, dt, n_hi=args.n_hi)
+            except Exception as e:
+                rows.append({"config": name, "error": repr(e)[:200]})
+                continue
+            rows.append(row(name, secs, bs))
+            print(json.dumps(rows[-1]))
+
+    print(json.dumps({"rows": rows}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -206,6 +206,16 @@ def main(argv=None):
         {k + "_median": float(np.median(v)) for k, v in results.items() if v}
     )
     summary["n_examples"] = len(results["si_sdr"])
+    if results["sdr"]:
+        # the closed-form BSS-eval uses length-1 distortion filters; museval/
+        # mir_eval default to 512-tap filters, so absolute sdr/sir/sar here
+        # are NOT directly comparable to published museval tables (SI-SDR
+        # rows are standard and comparable). Ranking/permutation match.
+        summary["bss_eval_filter_taps"] = 1
+        summary["bss_eval_note"] = (
+            "sdr/sir/sar use length-1 distortion filters; museval uses 512 "
+            "- do not compare absolutes against museval-based tables"
+        )
     print(json.dumps(summary))
     if args.out_pickle:
         with open(args.out_pickle, "wb") as fh:

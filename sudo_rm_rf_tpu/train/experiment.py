@@ -202,6 +202,28 @@ def run_experiment(
         improvement=True, return_individual_results=True,
     )
 
+    # ONE jitted program per val batch: through a remote device relay, the
+    # eager per-op dispatch of the metric costs more than the forward itself
+    # (the round-2 gc_r16_synth run's unexplained wall-clock, VERDICT weak
+    # #2 — val dominated it). est is returned for audio logging.
+    n_src = config.model.num_sources
+
+    @jax.jit
+    def _val_step(params, mixture, targets):
+        est = trainer._forward(params, mixture)
+        vals = sisdri(est, targets[:, :n_src], initial_mixtures=mixture)
+        return vals, est
+
+    def _fuss_val_step_builder(n_actual):
+        @jax.jit
+        def f(params, batch):
+            return fuss_val_batch(
+                lambda m: trainer._forward(params, m), batch, n_actual, n_src
+            )
+        return f
+
+    fuss_val_steps: Dict = {}
+
     history = []
     key = jax.random.key(config.train.seed + 1)
     step = start_epoch * steps_per_epoch
@@ -213,8 +235,14 @@ def run_experiment(
         for batch in generators["train"]:
             key, sub = jax.random.split(key)
             state, metrics = trainer.train_step(state, batch, sub)
-            res_dic["tr_loss"]["acc"].append(float(metrics["loss"]))
+            # keep the DEVICE scalar: a float() here would block the host on
+            # every step's readback (expensive through the relay); convert
+            # in bulk at epoch end. A periodic sync bounds the dispatch
+            # queue without serializing every step.
+            res_dic["tr_loss"]["acc"].append(metrics["loss"])
             step += 1
+            if step % 100 == 0:
+                float(metrics["loss"])
 
         val_names = [
             k for k in generators
@@ -236,12 +264,13 @@ def run_experiment(
                 )
                 res_dic.setdefault(metric_name, {"acc": []})
                 last_batch = None
+                if n_actual not in fuss_val_steps:
+                    fuss_val_steps[n_actual] = _fuss_val_step_builder(n_actual)
                 for batch in gen:
-                    vals, est, mixture = fuss_val_batch(
-                        lambda m: trainer._jit_forward(state.params, m),
-                        batch, n_actual, config.model.num_sources,
+                    vals, est, mixture = fuss_val_steps[n_actual](
+                        state.params, jnp.asarray(batch)
                     )
-                    res_dic[metric_name]["acc"] += np.asarray(vals).tolist()
+                    res_dic[metric_name]["acc"].append(vals)
                     last_batch = (est, batch, mixture)
             else:
                 metric_name = f"{val_name}_SISDRi"
@@ -255,12 +284,10 @@ def run_experiment(
                     else:  # variable-count sources without per-count split
                         targets = batch
                         mixture = np.asarray(targets).sum(1, keepdims=True)
-                    est = trainer._jit_forward(state.params, jnp.asarray(mixture))
-                    vals = sisdri(
-                        est, jnp.asarray(targets)[:, : config.model.num_sources],
-                        initial_mixtures=jnp.asarray(mixture),
+                    vals, est = _val_step(
+                        state.params, jnp.asarray(mixture), jnp.asarray(targets)
                     )
-                    res_dic[metric_name]["acc"] += np.asarray(vals).tolist()
+                    res_dic[metric_name]["acc"].append(vals)
                     last_batch = (est, targets, mixture)
             if last_batch is not None and epoch % log_audio_every == 0:
                 audio_logger.log_batch(
@@ -269,6 +296,13 @@ def run_experiment(
                     step=epoch, tag=val_name,
                 )
 
+        # bulk-convert the accumulated device values (one concatenated
+        # readback per metric instead of one blocking sync per step/batch)
+        for vals in res_dic.values():
+            if vals["acc"] and not isinstance(vals["acc"][0], (float, int)):
+                vals["acc"] = np.asarray(
+                    jnp.concatenate([jnp.atleast_1d(a) for a in vals["acc"]])
+                ).tolist()
         res_dic = report_losses_mean_and_std(res_dic, logger, epoch, epoch)
         history.append({k: v["mean"] for k, v in res_dic.items()})
         print(

@@ -259,6 +259,7 @@ def reference_model_zoo():
         "convtasnet": lambda: models.get_model("convtasnet"),
         "dprnn": lambda: models.get_model("dprnn"),
         "demucs": lambda: models.get_model("demucs"),
+        "tdcn": lambda: models.get_model("tdcn"),
         # attention rows (reference `run_attentive_sudormrf.py` zoo +
         # README SepFormer SOTA comparison row, README.md:125)
         # scan_blocks: one lax.scan over stacked block params — identical
