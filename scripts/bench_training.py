@@ -140,6 +140,20 @@ def main():
         except Exception as e:
             rows.append({"config": f"attrib_{tag}", "error": repr(e)[:200]})
 
+    # plain-conv ('xla') blocks at the serving sweet spot: bs8 bf16 is where
+    # the conv path beat fma for SERVING (BENCHMARKS.md headline) and where
+    # GC's xla path beat fma for training — measure the same for U16
+    for bs, dt in ((4, "bfloat16"), (8, "bfloat16"), (8, None)):
+        model = models.SuDORMRFImproved(**u16, block_impl="xla")
+        name = f"u16_xla_bs{bs}_{dt or 'fp32'}"
+        try:
+            secs = time_train_step(model, bs, dt, n_hi=args.n_hi)
+        except Exception as e:
+            rows.append({"config": name, "error": repr(e)[:200]})
+            continue
+        rows.append(row(name, secs, bs))
+        print(json.dumps(rows[-1]))
+
     # GroupComm training step: reference blocks vs trainable fma blocks
     gc = dict(out_channels=256, in_channels=512, num_blocks=16,
               upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="microbatches per optimizer step (large effective "
                         "batches beyond device memory)")
+    p.add_argument("--chain_steps", type=int, default=25,
+                   help="train steps per device dispatch (bit-identical "
+                        "lax.scan chain; amortizes remote-relay dispatch "
+                        "stalls; 1 disables)")
     p.add_argument("-fs", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
     # bookkeeping
@@ -165,6 +169,7 @@ def args_to_config(args) -> ExperimentConfig:
         mixture_consistency=args.mixture_consistency,
         optimizer=args.optimizer,
         grad_accum_steps=args.grad_accum_steps,
+        chain_steps=args.chain_steps,
         compute_dtype=args.compute_dtype,
         n_model=args.n_model,
         save_checkpoint_every=args.save_checkpoint_every,

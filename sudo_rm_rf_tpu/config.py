@@ -162,6 +162,10 @@ class TrainConfig:
     mixture_consistency: Optional[str] = None
     optimizer: str = "adam"  # 'adam' | 'radam_cosine'
     grad_accum_steps: int = 1
+    # train steps per device dispatch (lax.scan chain, bit-identical to
+    # sequential steps): amortizes the per-dispatch stall of remote-relay
+    # devices (~0.5-3 s measured vs ~50 ms of step compute). 1 = unchained.
+    chain_steps: int = 1
     # mixed precision: fwd/bwd compute dtype (fp32 master params + loss);
     # e.g. 'bfloat16' -- the fastest measured training mode (BENCHMARKS.md)
     compute_dtype: Optional[str] = None

@@ -148,6 +148,9 @@ def setup(hparams: Dict) -> Dict:
                 batch_size=hparams["batch_size"],
                 num_workers=hparams.get("n_jobs", 4),
                 shuffle=data_split == "train",
+                # queue depth >= the trainer's dispatch chain so production
+                # overlaps the chained device scan (train.experiment)
+                prefetch=max(2, int(hparams.get("chain_steps", 1)) + 2),
             )
             continue
         if names[0] == "FUSS" and data_split in ("val", "test"):

@@ -224,6 +224,60 @@ def run_experiment(
 
     fuss_val_steps: Dict = {}
 
+    # Device-resident validation: val/test sets are identical every epoch
+    # (fixed-seed generators), so materialize each ONCE, upload ONCE, and
+    # score the whole set in ONE scanned dispatch per epoch — through the
+    # relay, per-batch val dispatches cost ~0.5 s each (the other half of
+    # round-2 weak #2). Falls back to the per-batch path for ragged batch
+    # shapes or sets larger than the residency budget.
+    VAL_RESIDENT_MAX = int(
+        os.environ.get("SUDO_TPU_VAL_RESIDENT_MAX", 4 * 1024**3)
+    )
+    val_cache: Dict = {}
+
+    @jax.jit
+    def _val_scan_targets(params, tstack):
+        def body(_, tgt):
+            mix = jnp.sum(tgt, axis=1, keepdims=True)
+            est = trainer._forward(params, mix)
+            return None, sisdri(est, tgt[:, :n_src], initial_mixtures=mix)
+
+        return jax.lax.scan(body, None, tstack)[1]
+
+    @jax.jit
+    def _val_scan_pairs(params, mstack, tstack):
+        def body(_, mt):
+            m, tgt = mt
+            est = trainer._forward(params, m)
+            return None, sisdri(est, tgt[:, :n_src], initial_mixtures=m)
+
+        return jax.lax.scan(body, None, (mstack, tstack))[1]
+
+    def _materialize_val(gen):
+        """-> ('targets', tstack) | ('pairs', mstack, tstack) | None."""
+        mixtures, targets = [], []
+        for batch in gen:
+            if isinstance(batch, (tuple, list)) and len(batch) >= 2:
+                m = np.asarray(batch[0])
+                mixtures.append(m[:, None, :] if m.ndim == 2 else m)
+                targets.append(np.asarray(batch[-1]))
+            else:
+                targets.append(np.asarray(batch))
+        if not targets:
+            return None
+        shapes = {t.shape for t in targets}
+        nbytes = sum(t.nbytes for t in targets) + sum(
+            m.nbytes for m in mixtures
+        )
+        if len(shapes) != 1 or nbytes > VAL_RESIDENT_MAX or (
+            mixtures and len({m.shape for m in mixtures}) != 1
+        ):
+            return None
+        tstack = jnp.asarray(np.stack(targets))
+        if mixtures:
+            return ("pairs", jnp.asarray(np.stack(mixtures)), tstack)
+        return ("targets", tstack)
+
     history = []
     key = jax.random.key(config.train.seed + 1)
     step = start_epoch * steps_per_epoch
@@ -232,17 +286,47 @@ def run_experiment(
         epoch_start = time.time()
         if hasattr(generators["train"].dataset, "set_epoch"):
             generators["train"].dataset.set_epoch(epoch)
+        # chained dispatch: accumulate chain_steps batches and run them as
+        # ONE compiled scan (Trainer.train_steps, bit-identical to the
+        # sequential loop) — through the axon relay each host-data dispatch
+        # pays a ~0.5-3 s scheduling stall, so per-step dispatch dominated
+        # wall-clock (round-2 weak #2); one dispatch per chunk removes it.
+        # Ragged tails (chunk shorter than chain_steps) run the per-step
+        # path rather than compiling a second scan shape.
+        chain = max(config.train.chain_steps, 1)
+        chunk: list = []
+
+        def _to_tree(b):
+            return (
+                tuple(np.asarray(x) for x in b)
+                if isinstance(b, (tuple, list))
+                else np.asarray(b)
+            )
+
+        def _flush(chunk, state, key):
+            if len(chunk) == chain and chain > 1:
+                stacked = jax.tree.map(
+                    lambda *xs: np.stack(xs), *chunk
+                ) if isinstance(chunk[0], tuple) else np.stack(chunk)
+                state, metrics, key = trainer.train_steps(state, stacked, key)
+                res_dic["tr_loss"]["acc"].append(metrics["loss"])  # (K,)
+            else:
+                for b in chunk:
+                    key, sub = jax.random.split(key)
+                    state, metrics = trainer.train_step(state, b, sub)
+                    # keep the DEVICE scalar (a float() here would block on
+                    # every step's relay readback); bulk-convert at epoch end
+                    res_dic["tr_loss"]["acc"].append(metrics["loss"])
+            return state, key
+
         for batch in generators["train"]:
-            key, sub = jax.random.split(key)
-            state, metrics = trainer.train_step(state, batch, sub)
-            # keep the DEVICE scalar: a float() here would block the host on
-            # every step's readback (expensive through the relay); convert
-            # in bulk at epoch end. A periodic sync bounds the dispatch
-            # queue without serializing every step.
-            res_dic["tr_loss"]["acc"].append(metrics["loss"])
+            chunk.append(_to_tree(batch))
             step += 1
-            if step % 100 == 0:
-                float(metrics["loss"])
+            if len(chunk) == chain:
+                state, key = _flush(chunk, state, key)
+                chunk = []
+        if chunk:
+            state, key = _flush(chunk, state, key)
 
         val_names = [
             k for k in generators
@@ -276,19 +360,43 @@ def run_experiment(
                 metric_name = f"{val_name}_SISDRi"
                 res_dic.setdefault(metric_name, {"acc": []})
                 last_batch = None
-                for batch in gen:
-                    if isinstance(batch, (tuple, list)) and len(batch) >= 2:
-                        mixture, targets = batch[0], batch[-1]
-                        if mixture.ndim == 2:
-                            mixture = mixture[:, None, :]
-                    else:  # variable-count sources without per-count split
-                        targets = batch
-                        mixture = np.asarray(targets).sum(1, keepdims=True)
-                    vals, est = _val_step(
-                        state.params, jnp.asarray(mixture), jnp.asarray(targets)
+                if val_name not in val_cache:
+                    # only cache generators that provably replay the same
+                    # batches every epoch (unshuffled loaders); anything
+                    # else keeps the streaming per-batch path
+                    deterministic = getattr(gen, "shuffle", None) is False
+                    val_cache[val_name] = (
+                        _materialize_val(gen) if deterministic else None
                     )
-                    res_dic[metric_name]["acc"].append(vals)
-                    last_batch = (est, targets, mixture)
+                cached = val_cache[val_name]
+                if cached is not None:
+                    if cached[0] == "pairs":
+                        _, mstack, tstack = cached
+                        vals = _val_scan_pairs(state.params, mstack, tstack)
+                        last_mix = mstack[-1]
+                    else:
+                        _, tstack = cached
+                        vals = _val_scan_targets(state.params, tstack)
+                        last_mix = jnp.sum(tstack[-1], axis=1, keepdims=True)
+                    res_dic[metric_name]["acc"].append(vals)  # (Nb, B)
+                    if epoch % log_audio_every == 0:
+                        _, est = _val_step(state.params, last_mix, tstack[-1])
+                        last_batch = (est, tstack[-1], last_mix)
+                else:
+                    for batch in gen:
+                        if isinstance(batch, (tuple, list)) and len(batch) >= 2:
+                            mixture, targets = batch[0], batch[-1]
+                            if mixture.ndim == 2:
+                                mixture = mixture[:, None, :]
+                        else:  # variable-count sources, no per-count split
+                            targets = batch
+                            mixture = np.asarray(targets).sum(1, keepdims=True)
+                        vals, est = _val_step(
+                            state.params, jnp.asarray(mixture),
+                            jnp.asarray(targets)
+                        )
+                        res_dic[metric_name]["acc"].append(vals)
+                        last_batch = (est, targets, mixture)
             if last_batch is not None and epoch % log_audio_every == 0:
                 audio_logger.log_batch(
                     np.asarray(last_batch[0]), np.asarray(last_batch[1]),
@@ -301,7 +409,9 @@ def run_experiment(
         for vals in res_dic.values():
             if vals["acc"] and not isinstance(vals["acc"][0], (float, int)):
                 vals["acc"] = np.asarray(
-                    jnp.concatenate([jnp.atleast_1d(a) for a in vals["acc"]])
+                    jnp.concatenate(
+                        [jnp.ravel(jnp.asarray(a)) for a in vals["acc"]]
+                    )
                 ).tolist()
         res_dic = report_losses_mean_and_std(res_dic, logger, epoch, epoch)
         history.append({k: v["mean"] for k, v in res_dic.items()})

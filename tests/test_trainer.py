@@ -344,3 +344,68 @@ def test_grad_accum_matches_large_batch():
     for a, b in zip(jax.tree.leaves(states[1][1]), jax.tree.leaves(states[4][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_chained_steps_match_sequential():
+    """Trainer.train_steps (K steps in one scanned dispatch) must reproduce
+    K sequential train_step calls: same key-split sequence, same params,
+    same per-step losses. The chain exists to amortize remote-relay
+    dispatch stalls (BENCHMARKS.md training section); it must be purely a
+    dispatch change, not a semantics change."""
+    model = models.SuDORMRFImproved(**TINY)
+
+    def build():
+        tr = Trainer(model, TrainerConfig(learning_rate=1e-3, loss_clamp=30.0))
+        st = tr.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+        return tr, st
+
+    k = 3
+    batches = [_sources(b=8, t=1024, seed=10 + i) for i in range(2 * k)]
+
+    tr_a, st_a = build()
+    key = jax.random.key(42)
+    seq_losses = []
+    for b in batches:
+        key, sub = jax.random.split(key)
+        st_a, m = tr_a.train_step(st_a, b, sub)
+        seq_losses.append(float(m["loss"]))
+
+    tr_b, st_b = build()
+    key = jax.random.key(42)
+    chained_losses = []
+    for c in range(2):
+        stacked = np.stack(batches[c * k:(c + 1) * k])
+        st_b, metrics, key = tr_b.train_steps(st_b, stacked, key)
+        chained_losses += np.asarray(metrics["loss"]).tolist()
+
+    np.testing.assert_allclose(chained_losses, seq_losses, rtol=2e-5, atol=1e-6)
+    assert int(st_b.step) == int(st_a.step) == 2 * k
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_chained_steps_tuple_batches():
+    """The chain accepts structured (pair) batches — the WHAMR recipe."""
+    from sudo_rm_rf_tpu.train import augment as augment_lib
+
+    model = models.SuDORMRFImproved(**TINY)
+
+    def prepare(key, batch):
+        sources, targets = batch
+        mixture, new_targets = augment_lib.online_remix_pairs(
+            key, sources, targets
+        )
+        return mixture[:, None, :], new_targets[:, :2]
+
+    tr = Trainer(model, TrainerConfig(learning_rate=1e-3),
+                 prepare_batch=prepare)
+    st = tr.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+    stacked = (
+        np.stack([_sources(b=8, t=1024, seed=i) for i in range(3)]),
+        np.stack([_sources(b=8, t=1024, seed=100 + i) for i in range(3)]),
+    )
+    st, metrics, _ = tr.train_steps(st, stacked, jax.random.key(1))
+    assert metrics["loss"].shape == (3,)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert int(st.step) == 3
