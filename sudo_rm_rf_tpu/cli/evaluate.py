@@ -43,6 +43,11 @@ def main(argv=None):
                         "runtime (one compiled chunk shape) instead of "
                         "fixed-length crops — the reference's timelength=-1 "
                         "mode without per-length recompiles")
+    p.add_argument("--bss_filter_taps", type=int, default=512,
+                   help="BSS-eval distortion-filter length: 512 = the "
+                        "museval/mir_eval convention (literature-comparable "
+                        "absolute SDR/SIR/SAR); 1 = scalar-gain closed form "
+                        "(cheapest; ranking matches)")
     p.add_argument("--out_pickle", default=None)
     p.add_argument("--reference_root", default=None)
     p.add_argument("--root_dirpath", default=None)
@@ -193,7 +198,8 @@ def main(argv=None):
         # row set (`simple_whamr_evaluation.py:153-171`); per-sample means
         # over sources, like asteroid's average_over setting
         bss = losses.bss_eval_improvement(
-            est, jnp.asarray(targets), jnp.asarray(mixture)
+            est, jnp.asarray(targets), jnp.asarray(mixture),
+            filter_taps=args.bss_filter_taps,
         )
         for ours, theirs in (("sdr", "sdr"), ("sdri", "sdr_i"),
                              ("sir", "sir"), ("sar", "sar")):
@@ -207,15 +213,16 @@ def main(argv=None):
     )
     summary["n_examples"] = len(results["si_sdr"])
     if results["sdr"]:
-        # the closed-form BSS-eval uses length-1 distortion filters; museval/
-        # mir_eval default to 512-tap filters, so absolute sdr/sir/sar here
-        # are NOT directly comparable to published museval tables (SI-SDR
-        # rows are standard and comparable). Ranking/permutation match.
-        summary["bss_eval_filter_taps"] = 1
-        summary["bss_eval_note"] = (
-            "sdr/sir/sar use length-1 distortion filters; museval uses 512 "
-            "- do not compare absolutes against museval-based tables"
-        )
+        summary["bss_eval_filter_taps"] = args.bss_filter_taps
+        if args.bss_filter_taps < 512:
+            # with short distortion filters absolute sdr/sir/sar are NOT
+            # directly comparable to published museval tables (SI-SDR rows
+            # are standard and comparable). Ranking/permutation match.
+            summary["bss_eval_note"] = (
+                f"sdr/sir/sar use length-{args.bss_filter_taps} distortion "
+                "filters; museval uses 512 - do not compare absolutes "
+                "against museval-based tables"
+            )
     print(json.dumps(summary))
     if args.out_pickle:
         with open(args.out_pickle, "wb") as fh:

@@ -269,6 +269,108 @@ def test_bss_eval_sources_matches_naive_numpy():
             assert abs(got["sar"][bi, j] - want_sar) < 1e-2
 
 
+def test_bss_eval_filtered_matches_delayed_copies_oracle():
+    """512-tap-convention BSS-eval (museval/mir_eval distortion filters) vs
+    an explicit numpy oracle that materializes the delayed-copies design
+    matrix and solves least squares. Small taps keep the oracle cheap; the
+    FFT/block-Toeplitz path is tap-count-generic."""
+    from sudo_rm_rf_tpu.losses import bss_eval_sources
+
+    rng = np.random.default_rng(33)
+    b, n, t, L = 2, 2, 400, 8
+    targets = rng.standard_normal((b, n, t)).astype(np.float32)
+    mix_mat = rng.standard_normal((b, n, n)).astype(np.float32)
+    mix_mat += 2.0 * np.eye(n, dtype=np.float32)
+    est = np.einsum("ben,bnt->bet", mix_mat, targets)
+    # filtered leakage: a short FIR of one source into the other estimate
+    est[:, 0, 2:] += 0.4 * targets[:, 1, :-2]
+    est += 0.2 * rng.standard_normal(est.shape).astype(np.float32)
+
+    got = {
+        k: np.asarray(v)
+        for k, v in bss_eval_sources(est, targets, filter_taps=L).items()
+    }
+
+    import itertools
+
+    def delayed(S):
+        # (n*L, t+L-1): rows are s_k delayed by 0..L-1, zero-padded
+        rows = []
+        for k in range(S.shape[0]):
+            for d in range(L):
+                r = np.zeros(t + L - 1)
+                r[d:d + t] = S[k]
+                rows.append(r)
+        return np.array(rows)
+
+    def naive_one(e, S):
+        ez = np.zeros(t + L - 1)
+        ez[:t] = e
+        A = delayed(S)
+        coefs, *_ = np.linalg.lstsq(A.T, ez, rcond=None)
+        proj = coefs @ A
+        out = []
+        for j in range(S.shape[0]):
+            Aj = A[j * L:(j + 1) * L]
+            cj, *_ = np.linalg.lstsq(Aj.T, ez, rcond=None)
+            s_t = cj @ Aj
+            e_interf = proj - s_t
+            e_artif = ez - proj
+            sdr = 10 * np.log10(
+                (s_t @ s_t) / ((e_interf + e_artif) @ (e_interf + e_artif))
+            )
+            sir = 10 * np.log10((s_t @ s_t) / (e_interf @ e_interf))
+            sar = 10 * np.log10((proj @ proj) / (e_artif @ e_artif))
+            out.append((sdr, sir, sar))
+        return np.array(out)
+
+    for bi in range(b):
+        per_est = np.stack(
+            [naive_one(est[bi, i], targets[bi]) for i in range(n)]
+        )
+        best, best_perm = -np.inf, None
+        for perm in itertools.permutations(range(n)):
+            score = np.mean([per_est[perm[j], j, 1] for j in range(n)])
+            if score > best:
+                best, best_perm = score, perm
+        np.testing.assert_array_equal(got["perm"][bi], best_perm)
+        for j in range(n):
+            want_sdr, want_sir, want_sar = per_est[best_perm[j], j]
+            assert abs(got["sdr"][bi, j] - want_sdr) < 5e-2
+            assert abs(got["sir"][bi, j] - want_sir) < 5e-2
+            assert abs(got["sar"][bi, j] - want_sar) < 5e-2
+
+
+def test_bss_eval_filtered_taps1_matches_closed_form():
+    """filter_taps=1 through the FFT/Toeplitz path must equal the scalar
+    closed form (same math, L=1)."""
+    from sudo_rm_rf_tpu.losses import bss_eval_sources
+    from sudo_rm_rf_tpu.losses.bss_eval import _filtered_energies
+
+    rng = np.random.default_rng(34)
+    targets = rng.standard_normal((2, 2, 600)).astype(np.float32)
+    est = targets[:, ::-1] + 0.3 * rng.standard_normal((2, 2, 600)).astype(
+        np.float32
+    )
+    base = bss_eval_sources(est, targets)
+    import jax.numpy as jnp
+
+    num, proj, epow = _filtered_energies(
+        jnp.asarray(est), jnp.asarray(targets), taps=1, eps=1e-10
+    )
+    filt = bss_eval_sources(est, targets, filter_taps=1)
+    for k in ("sdr", "sir", "sar", "perm"):
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(filt[k]), rtol=1e-5, atol=1e-5
+        )
+    # the L=1 Toeplitz energies equal the scalar identities
+    cross = np.einsum("bet,bnt->ben", est, targets)
+    tp = np.einsum("bnt,bnt->bn", targets, targets)
+    np.testing.assert_allclose(
+        np.asarray(num), cross**2 / tp[:, None, :], rtol=1e-4
+    )
+
+
 def test_bss_eval_sources_finite_on_perfect_separation():
     """Regression: when an estimate is (near-)exactly a true source the
     interference/artifact energies are ~0 and roundoff can push the
