@@ -208,9 +208,26 @@ def run_experiment(
     # #2 — val dominated it). est is returned for audio logging.
     n_src = config.model.num_sources
 
+    # Validation forward runs in the TRAINING compute dtype (bf16 when
+    # --compute_dtype bfloat16): that is the numerics being trained AND the
+    # deployed serving path — and on v5e the fp32 conv forward at certain
+    # batch shapes hits a pathological XLA tiling that made validation
+    # ~60x slower than the bf16 sweet spot (measured: 1.9 s/batch fp32 vs
+    # 30 ms bf16 at U16/512 conv bs8). Metrics stay fp32.
+    _val_cdt = (
+        jnp.dtype(config.train.compute_dtype)
+        if config.train.compute_dtype else None
+    )
+
+    def _val_forward(params, mixture):
+        if _val_cdt is not None:
+            params = jax.tree.map(lambda a: a.astype(_val_cdt), params)
+            mixture = mixture.astype(_val_cdt)
+        return trainer._forward(params, mixture).astype(jnp.float32)
+
     @jax.jit
     def _val_step(params, mixture, targets):
-        est = trainer._forward(params, mixture)
+        est = _val_forward(params, mixture)
         vals = sisdri(est, targets[:, :n_src], initial_mixtures=mixture)
         return vals, est
 
@@ -218,7 +235,7 @@ def run_experiment(
         @jax.jit
         def f(params, batch):
             return fuss_val_batch(
-                lambda m: trainer._forward(params, m), batch, n_actual, n_src
+                lambda m: _val_forward(params, m), batch, n_actual, n_src
             )
         return f
 
@@ -239,7 +256,7 @@ def run_experiment(
     def _val_scan_targets(params, tstack):
         def body(_, tgt):
             mix = jnp.sum(tgt, axis=1, keepdims=True)
-            est = trainer._forward(params, mix)
+            est = _val_forward(params, mix)
             return None, sisdri(est, tgt[:, :n_src], initial_mixtures=mix)
 
         return jax.lax.scan(body, None, tstack)[1]
@@ -248,7 +265,7 @@ def run_experiment(
     def _val_scan_pairs(params, mstack, tstack):
         def body(_, mt):
             m, tgt = mt
-            est = trainer._forward(params, m)
+            est = _val_forward(params, m)
             return None, sisdri(est, tgt[:, :n_src], initial_mixtures=m)
 
         return jax.lax.scan(body, None, (mstack, tstack))[1]
@@ -295,6 +312,10 @@ def run_experiment(
         # path rather than compiling a second scan shape.
         chain = max(config.train.chain_steps, 1)
         chunk: list = []
+        # per-phase wall-clock attribution, printed in the epoch line:
+        # t_data = host-side batch production (loader wait + stacking),
+        # t_disp = device dispatch+sync for train steps
+        phase = {"data": 0.0, "disp": 0.0, "val": 0.0, "ckpt": 0.0}
 
         def _to_tree(b):
             return (
@@ -304,6 +325,7 @@ def run_experiment(
             )
 
         def _flush(chunk, state, key):
+            t0 = time.time()
             if len(chunk) == chain and chain > 1:
                 stacked = jax.tree.map(
                     lambda *xs: np.stack(xs), *chunk
@@ -317,17 +339,23 @@ def run_experiment(
                     # keep the DEVICE scalar (a float() here would block on
                     # every step's relay readback); bulk-convert at epoch end
                     res_dic["tr_loss"]["acc"].append(metrics["loss"])
+            phase["disp"] += time.time() - t0
             return state, key
 
+        t_mark = time.time()
         for batch in generators["train"]:
             chunk.append(_to_tree(batch))
             step += 1
             if len(chunk) == chain:
+                phase["data"] += time.time() - t_mark
                 state, key = _flush(chunk, state, key)
                 chunk = []
+                t_mark = time.time()
+        phase["data"] += time.time() - t_mark
         if chunk:
             state, key = _flush(chunk, state, key)
 
+        t_val0 = time.time()
         val_names = [
             k for k in generators
             if k != "train" and (k in ("val", "test", "train_val")
@@ -404,6 +432,7 @@ def run_experiment(
                     step=epoch, tag=val_name,
                 )
 
+        phase["val"] = time.time() - t_val0
         # bulk-convert the accumulated device values (one concatenated
         # readback per metric instead of one blocking sync per step/batch)
         for vals in res_dic.values():
@@ -415,12 +444,8 @@ def run_experiment(
                 ).tolist()
         res_dic = report_losses_mean_and_std(res_dic, logger, epoch, epoch)
         history.append({k: v["mean"] for k, v in res_dic.items()})
-        print(
-            f"epoch {epoch + 1}/{config.train.n_epochs} "
-            + " ".join(f"{k}={v['mean']:.3f}" for k, v in res_dic.items())
-            + f" ({time.time() - epoch_start:.1f}s)"
-        )
 
+        t_ck0 = time.time()
         ckpt.save_every(state, epoch + 1, config.train.save_checkpoint_every)
         best_key = "val_SISDRi" if "val_SISDRi" in res_dic else next(
             (k for k in res_dic if k.startswith("val") and "_SISDR" in k), None
@@ -435,6 +460,14 @@ def run_experiment(
                 for p in best:
                     if not p.endswith(".json"):
                         logger.log_asset(p)
+        phase["ckpt"] = time.time() - t_ck0
+        print(
+            f"epoch {epoch + 1}/{config.train.n_epochs} "
+            + " ".join(f"{k}={v['mean']:.3f}" for k, v in res_dic.items())
+            + f" ({time.time() - epoch_start:.1f}s:"
+            + f" data={phase['data']:.0f} disp={phase['disp']:.0f}"
+            + f" val={phase['val']:.0f} ckpt={phase['ckpt']:.0f})"
+        )
         for metric, vals in res_dic.items():
             if vals["acc"]:
                 logger.log_metric_array(metric, vals["acc"], epoch + 1)
