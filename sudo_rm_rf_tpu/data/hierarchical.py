@@ -15,8 +15,10 @@ by the hierarchy builders in sudo_rm_rf_tpu/prep/.
 
 from __future__ import annotations
 
+import collections
 import glob
 import os
+import threading
 from typing import List, Sequence
 
 import joblib
@@ -29,6 +31,53 @@ def _to_numpy(x):
     if hasattr(x, "detach"):  # torch tensor from legacy preprocessed dirs
         return x.detach().cpu().numpy()
     return np.asarray(x)
+
+
+class _DecodedSourceCache:
+    """Bounded LRU of decoded source arrays, keyed by file path.
+
+    Online-mixing epochs redraw sources from a FIXED file pool (e.g.
+    20,000 mixtures/epoch over ~3,000 utterances), so after one epoch the
+    hit rate is ~100% and the loader's per-example cost drops from
+    joblib-read+decode to slice+stack. On a host whose single CPU also
+    feeds the accelerator this is the difference between a loader-bound
+    and an accelerator-bound epoch (BENCHMARKS.md, relay section).
+
+    Thread-safe (loader workers share it). Entries are read-only by
+    convention: consumers slice views and never write in place. Cap via
+    SUDO_TPU_WAV_CACHE_BYTES (0 disables; default 2 GiB).
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._lock = threading.Lock()
+        self._data: "collections.OrderedDict[str, np.ndarray]" = (
+            collections.OrderedDict()
+        )
+        self._bytes = 0
+
+    def get(self, path: str):
+        if self.max_bytes <= 0:
+            return _to_numpy(joblib.load(path)).astype(np.float32)
+        with self._lock:
+            arr = self._data.get(path)
+            if arr is not None:
+                self._data.move_to_end(path)
+                return arr
+        arr = _to_numpy(joblib.load(path)).astype(np.float32)
+        with self._lock:
+            if path not in self._data:
+                self._data[path] = arr
+                self._bytes += arr.nbytes
+                while self._bytes > self.max_bytes and len(self._data) > 1:
+                    _, old = self._data.popitem(last=False)
+                    self._bytes -= old.nbytes
+        return arr
+
+
+_source_cache = _DecodedSourceCache(
+    int(os.environ.get("SUDO_TPU_WAV_CACHE_BYTES", 2 << 30))
+)
 
 
 class AugmentedOnlineMixingDataset:
@@ -132,9 +181,9 @@ class AugmentedOnlineMixingDataset:
             prev_indexes.append((dataset_idx, h_idx))
 
             folder = self.sample_folders[dataset_idx][h_idx][s_idx]
-            wav = _to_numpy(
-                joblib.load(os.path.join(folder, self.return_items[0]))
-            ).astype(np.float32)
+            wav = _source_cache.get(
+                os.path.join(folder, self.return_items[0])
+            )
             if wav.ndim == 1:
                 wav = wav[None, :]
 

@@ -318,6 +318,14 @@ def run_experiment(
         phase = {"data": 0.0, "disp": 0.0, "val": 0.0, "ckpt": 0.0}
 
         def _to_tree(b):
+            # project the raw loader batch down to what the recipe's
+            # prepare_batch consumes BEFORE stacking/upload: the WHAM-family
+            # recipes remix sources online and never read the loader's
+            # mixture, so shipping it would waste a third of the H2D bytes
+            # (only WHAMR consumes the full (sources, targets) pair; FUSS
+            # loaders yield bare source tensors already)
+            if isinstance(b, (tuple, list)) and dataset != "WHAMR":
+                b = b[-1]
             return (
                 tuple(np.asarray(x) for x in b)
                 if isinstance(b, (tuple, list))
