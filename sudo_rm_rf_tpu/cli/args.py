@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train steps per device dispatch (bit-identical "
                         "lax.scan chain; amortizes remote-relay dispatch "
                         "stalls; 1 disables)")
+    p.add_argument("--upload_dtype", type=str, default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="host->device batch transfer dtype; bfloat16 "
+                        "halves H2D bytes (the step upcasts to fp32 "
+                        "on-device — only the transfer is quantized)")
+    p.add_argument("--max_inflight", type=int, default=2,
+                   help="max train dispatches in flight before the host "
+                        "blocks on the oldest (bounds relay queue depth "
+                        "and batch-buffer RSS); 0 = unbounded")
     p.add_argument("-fs", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
     # bookkeeping
@@ -171,6 +180,8 @@ def args_to_config(args) -> ExperimentConfig:
         grad_accum_steps=args.grad_accum_steps,
         chain_steps=args.chain_steps,
         compute_dtype=args.compute_dtype,
+        upload_dtype=args.upload_dtype,
+        max_inflight=args.max_inflight,
         n_model=args.n_model,
         save_checkpoint_every=args.save_checkpoint_every,
         checkpoints_path=args.checkpoints_path,

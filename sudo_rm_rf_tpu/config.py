@@ -169,6 +169,12 @@ class TrainConfig:
     # mixed precision: fwd/bwd compute dtype (fp32 master params + loss);
     # e.g. 'bfloat16' -- the fastest measured training mode (BENCHMARKS.md)
     compute_dtype: Optional[str] = None
+    # host->device batch transfer dtype ('bfloat16' halves H2D bytes; the
+    # step upcasts to fp32 on-device, so only the transfer is quantized)
+    upload_dtype: Optional[str] = None
+    # max train dispatches in flight before the host blocks on the oldest
+    # (bounds relay queue depth + host batch-buffer RSS); 0 = unbounded
+    max_inflight: int = 2
     # mesh model-axis size (1 = pure DP). >1 shards large params over the
     # model axis (storage TP) and, for block_impl='fma' improved models,
     # enables compute TP via activation sharding constraints.

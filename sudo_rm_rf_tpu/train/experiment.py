@@ -168,6 +168,7 @@ def run_experiment(
             grad_accum_steps=config.train.grad_accum_steps,
             total_steps=max(config.train.n_epochs * steps_per_epoch, 1),
             compute_dtype=config.train.compute_dtype,
+            upload_dtype=config.train.upload_dtype,
             shard_params=n_model > 1,
         ),
         loss_fn=loss_fn,
@@ -332,6 +333,21 @@ def run_experiment(
                 else np.asarray(b)
             )
 
+        # bounded in-flight dispatch queue: async dispatch would otherwise
+        # enqueue the whole epoch ahead of the device — through the relay a
+        # deep queue degrades scheduling AND every queued chunk pins its
+        # host batch buffer (chain x B x S x T fp32 ~ 100 MB each) until
+        # the transfer lands. Blocking on the (i - max_inflight)-th
+        # dispatch's loss keeps exactly max_inflight programs queued (the
+        # device never idles as long as one is outstanding). 0 = unbounded.
+        max_inflight = config.train.max_inflight
+        inflight: list = []
+
+        def _bound_queue(loss_dev):
+            inflight.append(loss_dev)
+            if max_inflight > 0 and len(inflight) > max_inflight:
+                jax.block_until_ready(inflight.pop(0))
+
         def _flush(chunk, state, key):
             t0 = time.time()
             if len(chunk) == chain and chain > 1:
@@ -340,6 +356,7 @@ def run_experiment(
                 ) if isinstance(chunk[0], tuple) else np.stack(chunk)
                 state, metrics, key = trainer.train_steps(state, stacked, key)
                 res_dic["tr_loss"]["acc"].append(metrics["loss"])  # (K,)
+                _bound_queue(metrics["loss"])
             else:
                 for b in chunk:
                     key, sub = jax.random.split(key)
@@ -347,6 +364,7 @@ def run_experiment(
                     # keep the DEVICE scalar (a float() here would block on
                     # every step's relay readback); bulk-convert at epoch end
                     res_dic["tr_loss"]["acc"].append(metrics["loss"])
+                    _bound_queue(metrics["loss"])
             phase["disp"] += time.time() - t0
             return state, key
 

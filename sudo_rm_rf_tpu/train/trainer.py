@@ -110,6 +110,13 @@ class TrainerConfig:
     # tensor parallelism: shard large params' output-channel dims over the
     # mesh 'model' axis (parallel.tp_param_shardings). No-op on model=1.
     shard_params: bool = False
+    # host->device batch transfer dtype: batches are cast host-side before
+    # upload and upcast back to fp32 as the first op of the jitted step, so
+    # the ONLY numerics change is waveform quantization at the transfer
+    # boundary (bf16: ~8 mantissa bits ~ 40 dB SNR on raw audio). Halves
+    # H2D bytes — matters through a remote relay (~1 GB/s measured) and for
+    # DCN-fed pods; None = upload as-is (fp32).
+    upload_dtype: Optional[str] = None
 
 
 def _default_loss(est, targets):
@@ -224,8 +231,24 @@ class Trainer:
             )
         return est
 
+    def _upcast_batch(self, batch):
+        """Undo the upload_dtype cast as the first op of the jitted step:
+        every recipe (augment, loss) then runs on fp32 exactly as with
+        fp32 uploads, modulo the transfer-boundary quantization."""
+        if self.config.upload_dtype is None:
+            return batch
+        return jax.tree.map(
+            lambda a: (
+                a.astype(jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                and a.dtype != jnp.float32
+                else a
+            ),
+            batch,
+        )
+
     def _train_step_impl(self, state: TrainState, batch, key: jax.Array):
-        mixture, targets = self.prepare_batch(key, batch)
+        mixture, targets = self.prepare_batch(key, self._upcast_batch(batch))
         cdtype = (
             jnp.dtype(self.config.compute_dtype)
             if self.config.compute_dtype
@@ -317,6 +340,18 @@ class Trainer:
         (state, metrics (K,), advanced key)."""
         return self._train_steps_chained(state, self._put_batches(batches), key)
 
+    def _host_cast(self, x):
+        """Cast a host batch leaf to upload_dtype BEFORE the device
+        transfer (numpy cast — jnp.bfloat16 is a valid numpy dtype via
+        ml_dtypes); integer/bool leaves pass through."""
+        if self.config.upload_dtype is None:
+            return x
+        ud = jnp.dtype(self.config.upload_dtype)
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating) and x.dtype != ud:
+            return x.astype(ud)
+        return x
+
     def _put_batches(self, tree):
         """Place a (K, B, ...) stacked batch tree: batch dim (axis 1)
         sharded over `data`, chain dim replicated."""
@@ -324,7 +359,7 @@ class Trainer:
         multiprocess = jax.process_count() > 1
 
         def put(x):
-            x = jnp.asarray(x)
+            x = jnp.asarray(self._host_cast(x))
             sh = NamedSharding(
                 self.mesh, P(*([None, DATA_AXIS] + [None] * (x.ndim - 2)))
             )
@@ -344,7 +379,7 @@ class Trainer:
         multiprocess = jax.process_count() > 1
 
         def put(x):
-            x = jnp.asarray(x)
+            x = jnp.asarray(self._host_cast(x))
             if multiprocess:
                 # each process feeds its LOCAL shard of the global batch;
                 # assemble the global sharded array across hosts (DCN path,

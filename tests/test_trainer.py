@@ -409,3 +409,49 @@ def test_chained_steps_tuple_batches():
     assert metrics["loss"].shape == (3,)
     assert np.isfinite(np.asarray(metrics["loss"])).all()
     assert int(st.step) == 3
+
+
+def test_upload_dtype_bf16_transfer_only_quantizes_boundary():
+    """upload_dtype='bfloat16' halves H2D bytes (relay/DCN lever,
+    BENCHMARKS.md relay section); the step upcasts to fp32 on-device, so
+    the ONLY numerics change is bf16 waveform quantization at the
+    transfer boundary (~40 dB SNR on raw audio). Losses must track the
+    fp32-upload run to that quantization tolerance, and the same must
+    hold through the chained dispatch path."""
+    model = models.SuDORMRFImproved(**TINY)
+
+    def run(upload_dtype):
+        tr = Trainer(
+            model,
+            TrainerConfig(learning_rate=1e-3, upload_dtype=upload_dtype),
+        )
+        st = tr.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+        key = jax.random.key(7)
+        losses = []
+        for i in range(2):
+            key, sub = jax.random.split(key)
+            st, m = tr.train_step(st, _sources(b=8, t=1024, seed=50 + i), sub)
+            losses.append(float(m["loss"]))
+        return losses
+
+    f32 = run(None)
+    bf16 = run("bfloat16")
+    # bf16 has ~8 mantissa bits: batch quantization perturbs the loss at
+    # the ~1e-2 level on SI-SDR-type losses, far from equality but far
+    # from divergence.
+    np.testing.assert_allclose(bf16, f32, rtol=0.05, atol=0.05)
+
+    # chained dispatch must apply the same host-side cast
+    tr = Trainer(
+        model, TrainerConfig(learning_rate=1e-3, upload_dtype="bfloat16")
+    )
+    st = tr.init_state(jax.random.key(0), jnp.zeros((8, 1, 1024)))
+    stacked = np.stack([_sources(b=8, t=1024, seed=50 + i) for i in range(2)])
+    st, metrics, _ = tr.train_steps(st, stacked, jax.random.key(7))
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]).tolist(), f32, rtol=0.05, atol=0.05
+    )
+
+    # integer leaves must pass through the host cast untouched
+    ix = tr._host_cast(np.arange(4, dtype=np.int32))
+    assert ix.dtype == np.int32
