@@ -48,7 +48,7 @@ class Conv2d1x1(nn.Module):
         return out + b[None, :, None, None]
 
 
-def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse=False, unroll=1):
+def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse=False):
     """One torch-layout LSTM direction over (B, T, C). Returns (B, T, H)."""
     hidden = w_hh.shape[1]
 
@@ -71,64 +71,19 @@ def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse=False, unroll=1):
         jnp.zeros((b, hidden), x.dtype),
         jnp.zeros((b, hidden), x.dtype),
     )
-    _, hs = jax.lax.scan(cell, init, xs, unroll=unroll)
+    _, hs = jax.lax.scan(cell, init, xs)
     if reverse:
         hs = hs[::-1]
     return jnp.swapaxes(hs, 0, 1)
 
 
-def _bilstm_fused_scan(x, fwd, rev, unroll=1):
-    """Both BiLSTM directions in ONE lax.scan over (B, T, C) -> (B, T, 2H).
-
-    An RNN on TPU is latency-bound: per step the recurrent matmul is tiny
-    (B x H x 4H), so wall-clock ~ step_count x scan-iteration overhead, not
-    FLOPs. Running forward and time-reversed directions as one scan with a
-    direction-stacked carry halves the sequential step count for identical
-    math (each direction's matmul stays a separate (B,H)@(H,4H) contraction
-    inside a batched einsum). `unroll` further amortizes loop overhead.
-    DPRNN is the motivating model (BENCHMARKS.md zoo notes): 6 dual-path
-    layers x ~250-step scans made it the one latency-bound baseline.
-    """
-    (w_ih_f, w_hh_f, b_f), (w_ih_r, w_hh_r, b_r) = fwd, rev
-    hidden = w_hh_f.shape[1]
-    b = x.shape[0]
-    # per-direction input projections: two big MXU matmuls outside the scan
-    xp_f = jnp.swapaxes(jnp.einsum("btc,gc->btg", x, w_ih_f) + b_f, 0, 1)
-    xp_r = jnp.swapaxes(jnp.einsum("btc,gc->btg", x, w_ih_r) + b_r, 0, 1)
-    xs = jnp.stack([xp_f, xp_r[::-1]], axis=1)  # (T, 2, B, 4H)
-    w_hh = jnp.stack([w_hh_f, w_hh_r])  # (2, 4H, H)
-
-    def cell(carry, xt):
-        h, c = carry  # (2, B, H) each
-        gates = xt + jnp.einsum("dbh,dgh->dbg", h, w_hh)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
-
-    init = (
-        jnp.zeros((2, b, hidden), x.dtype),
-        jnp.zeros((2, b, hidden), x.dtype),
-    )
-    _, hs = jax.lax.scan(cell, init, xs, unroll=unroll)  # (T, 2, B, H)
-    h_f = jnp.swapaxes(hs[:, 0], 0, 1)
-    h_r = jnp.swapaxes(hs[:, 1][::-1], 0, 1)
-    return jnp.concatenate([h_f, h_r], axis=-1)
-
-
 class TorchLSTM(nn.Module):
-    """torch nn.LSTM(batch_first=True) parameter layout, any num_layers.
-
-    Bidirectional layers run both directions in ONE fused scan
-    (`_bilstm_fused_scan`) — identical math, half the sequential steps;
-    `unroll` amortizes per-iteration scan overhead (RNNs on TPU are
-    latency-bound, see the fused-scan docstring)."""
+    """torch nn.LSTM(batch_first=True) parameter layout, any num_layers."""
 
     input_size: int
     hidden_size: int
     bidirectional: bool = False
     num_layers: int = 1
-    unroll: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -138,18 +93,16 @@ class TorchLSTM(nn.Module):
         uni = lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound)
         for layer in range(self.num_layers):
             i = self.input_size if layer == 0 else h * ndir
-            dirs = []
+            outs = []
             for sfx in [""] + (["_reverse"] if self.bidirectional else []):
                 w_ih = self.param(f"weight_ih_l{layer}{sfx}", uni, (4 * h, i))
                 w_hh = self.param(f"weight_hh_l{layer}{sfx}", uni, (4 * h, h))
                 b_ih = self.param(f"bias_ih_l{layer}{sfx}", uni, (4 * h,))
                 b_hh = self.param(f"bias_hh_l{layer}{sfx}", uni, (4 * h,))
-                dirs.append((w_ih, w_hh, b_ih + b_hh))
-            if self.bidirectional:
-                x = _bilstm_fused_scan(x, dirs[0], dirs[1], unroll=self.unroll)
-            else:
-                w_ih, w_hh, b = dirs[0]
-                x = _lstm_scan(x, w_ih, w_hh, b, 0.0, unroll=self.unroll)
+                outs.append(
+                    _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse=bool(sfx))
+                )
+            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         return x
 
 
