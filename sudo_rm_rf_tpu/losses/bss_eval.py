@@ -80,7 +80,11 @@ def _filtered_energies(est, targets, taps: int, eps: float):
 
     # ||P_j e||^2 = d_j^T R_jj^{-1} d_j per (estimate, target)
     diag = blocks[:, jnp.arange(n), jnp.arange(n)]  # (B, n, L, L)
-    diag_r = diag + jitter[..., None] * jnp.eye(L)
+    # jitter is (B, 1): insert axes to (B, 1, 1, 1) so it broadcasts over
+    # (B, n, L, L) for ANY batch size (with only [..., None] it is
+    # (B, 1, 1), which right-aligns against the n axis and happens to
+    # broadcast only when B == n — the shape coincidence that hid this)
+    diag_r = diag + jitter[..., None, None] * jnp.eye(L)
     cj = jnp.linalg.solve(
         diag_r[:, None].repeat(n, 1), d[..., None]
     )[..., 0]  # (B, n_est, n, L)

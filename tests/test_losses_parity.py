@@ -273,11 +273,15 @@ def test_bss_eval_filtered_matches_delayed_copies_oracle():
     """512-tap-convention BSS-eval (museval/mir_eval distortion filters) vs
     an explicit numpy oracle that materializes the delayed-copies design
     matrix and solves least squares. Small taps keep the oracle cheap; the
-    FFT/block-Toeplitz path is tap-count-generic."""
+    FFT/block-Toeplitz path is tap-count-generic.
+
+    b != n is load-bearing: the per-target jitter broadcast used to be
+    (B, 1, 1) against (B, n, L, L), which only broadcast when B == n —
+    the evaluate CLI at bs8/n2 crashed on exactly this (regression)."""
     from sudo_rm_rf_tpu.losses import bss_eval_sources
 
     rng = np.random.default_rng(33)
-    b, n, t, L = 2, 2, 400, 8
+    b, n, t, L = 3, 2, 400, 8
     targets = rng.standard_normal((b, n, t)).astype(np.float32)
     mix_mat = rng.standard_normal((b, n, n)).astype(np.float32)
     mix_mat += 2.0 * np.eye(n, dtype=np.float32)
