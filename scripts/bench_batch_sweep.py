@@ -8,8 +8,11 @@ as deep as latency budgets allow).
 
 Usage:
     python scripts/bench_batch_sweep.py [--bs 8 16 24 32 48 64]
-        [--paths bf16_conv fma_fp32 fma_bf16 int8_static] [--n_hi 21]
+        [--paths bf16_conv fma_bf16 int8_static] [--n_hi 21]
 
+The default sweep covers the three gated serving candidates (bf16 conv
+apply, fma with compute_dtype='bfloat16', static int8); pass
+``--paths fma_fp32 ...`` to also sweep the fp32-exact fma path.
 Prints one JSON line per (path, bs) row.
 """
 
@@ -66,12 +69,17 @@ def main():
                     return (jnp.sum(y, axis=1, keepdims=True)
                             .astype(c.dtype) * 0.1 + c * 0.9)
             elif path in ("fma_fp32", "fma_bf16"):
-                dt = jnp.float32 if path == "fma_fp32" else jnp.bfloat16
-                p = params if path == "fma_fp32" else pbf
-                x = jax.random.normal(jax.random.key(2), (bs, 1, t), dt)
+                # fma_bf16 uses the fidelity-gated serving recipe exactly
+                # as documented in BENCHMARKS.md: compute_dtype='bfloat16'
+                # (fp32 norm statistics), NOT an all-bf16 param cast.
+                cdt = None if path == "fma_fp32" else "bfloat16"
+                x = jax.random.normal(jax.random.key(2), (bs, 1, t),
+                                      jnp.float32)
 
-                def step(c, p=p):
-                    y = improved_forward_fast(p, c, impl="fma")
+                def step(c, cdt=cdt):
+                    y = improved_forward_fast(
+                        params, c, impl="fma", compute_dtype=cdt
+                    )
                     return (jnp.sum(y, axis=1, keepdims=True)
                             .astype(c.dtype) * 0.1 + c * 0.9)
             elif path == "int8_static":

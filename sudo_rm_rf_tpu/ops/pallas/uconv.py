@@ -321,6 +321,18 @@ def fused_uconv_block(
     b, co, t = x.shape
     ci = params["proj_w"].shape[0]
     assert t % (2 ** (depth - 1)) == 0, (t, depth)
+    # Runtime guard for the documented VMEM/compile envelope (module
+    # docstring: ~(Ci=512, T=1600) is the measured ceiling; past it the
+    # whole-pyramid-in-VMEM design cannot compile). Fail loudly with the
+    # supported alternative instead of a cryptic Mosaic error.
+    if ci * t > 512 * 1600 and not interpret:
+        raise ValueError(
+            f"fused_uconv_block: Ci*T = {ci}*{t} exceeds the kernel's "
+            f"VMEM-residency envelope (Ci*T <= {512 * 1600}). Use the "
+            f"'fma' XLA block (models.fast_inference / block_impl='fma'), "
+            f"which captures ~95% of the fusion win at any shape, or chunk "
+            f"T before calling."
+        )
 
     kernel, lens = _make_kernel(depth, ci, co, t)
 
