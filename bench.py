@@ -75,22 +75,45 @@ def main():
     max_secs = timed_loop(step_max, x8, n_hi=51)
     max_au = 8 * SECONDS / max_secs
 
-    # int8 row: quantized MXU matmuls (models/quantized.py), own gate
+    # int8 row: quantized MXU matmuls with STATIC calibrated activation
+    # scales (models/quantized.py) — measured faster than both dynamic int8
+    # and bf16 at bs8 (BENCHMARKS.md batch sweep); calibration runs on a
+    # held-out batch, fidelity is probed on the x4 batch, own gate.
     from sudo_rm_rf_tpu.models.quantized import (
-        improved_forward_int8, quantize_improved_params,
+        calibrate_improved_scales, improved_forward_int8,
+        quantize_improved_params,
     )
 
     qp = quantize_improved_params(params)
-    q4 = np.asarray(improved_forward_int8(qp, x4)).astype(np.float32)
+    calib = jax.random.normal(jax.random.key(7), (4, 1, t), jnp.float32)
+    scales = calibrate_improved_scales(qp, calib)
+    q4 = np.asarray(
+        improved_forward_int8(qp, x4, scales=scales)
+    ).astype(np.float32)
     int8_fid = float(10 * np.log10((ref**2).sum() / ((ref - q4) ** 2).sum()))
     x8f = jax.random.normal(jax.random.key(3), (8, 1, t), jnp.float32)
 
     def step_int8(c):
-        y = improved_forward_int8(qp, c)
+        y = improved_forward_int8(qp, c, scales=scales)
         return jnp.sum(y, axis=1, keepdims=True) * 0.1 + c * 0.9
 
     int8_secs = timed_loop(step_int8, x8f, n_hi=51)
     int8_au = 8 * SECONDS / int8_secs
+
+    # MFU accounting (VERDICT r3 item 3): XLA cost-analysis FLOPs of each
+    # candidate's forward over measured time over the chip's peak
+    from sudo_rm_rf_tpu.utils.benchmark import flops_of, mfu_pct
+
+    fl_cons = flops_of(lambda c: improved_forward_fast(params, c, impl="fma"), x4)
+    fl_max = flops_of(lambda c: model.apply({"params": pbf}, c), x8)
+    fl_int8 = flops_of(
+        lambda c: improved_forward_int8(qp, c, scales=scales), x8f
+    )
+    mfu = {
+        "bs4_fp32_fma": mfu_pct(fl_cons, cons_secs, "float32"),
+        "bs8_bf16_conv": mfu_pct(fl_max, max_secs, "bfloat16"),
+        "bs8_int8": mfu_pct(fl_int8, int8_secs, "int8"),
+    }
 
     gated = fidelity_db >= FIDELITY_GATE_DB and max_au > cons_au
     value = max_au if gated else cons_au
@@ -119,6 +142,16 @@ def main():
                 "int8_bs8": round(int8_au, 2),
                 "int8_fidelity_db": round(int8_fid, 1),
                 "int8_gate_db": INT8_GATE_DB,
+                "int8_scales": "static_calibrated",
+                # model-FLOPs utilization vs chip peak (headline config +
+                # the fp32-exact conservative row); null off-TPU
+                "mfu_pct": (
+                    round(mfu[config], 1) if mfu.get(config) else None
+                ),
+                "mfu_pct_conservative": (
+                    round(mfu["bs4_fp32_fma"], 1)
+                    if mfu.get("bs4_fp32_fma") else None
+                ),
             }
         )
     )

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max train dispatches in flight before the host "
                         "blocks on the oldest (bounds relay queue depth "
                         "and batch-buffer RSS); 0 = unbounded")
+    p.add_argument("--device_data", action="store_true",
+                   help="device-resident training data: decode the train "
+                        "pool into HBM once and draw every batch on-device "
+                        "inside a scanned epoch (zero per-step H2D)")
     p.add_argument("-fs", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
     # bookkeeping
@@ -182,6 +186,7 @@ def args_to_config(args) -> ExperimentConfig:
         compute_dtype=args.compute_dtype,
         upload_dtype=args.upload_dtype,
         max_inflight=args.max_inflight,
+        device_data=args.device_data,
         n_model=args.n_model,
         save_checkpoint_every=args.save_checkpoint_every,
         checkpoints_path=args.checkpoints_path,

@@ -175,6 +175,11 @@ class TrainConfig:
     # max train dispatches in flight before the host blocks on the oldest
     # (bounds relay queue depth + host batch-buffer RSS); 0 = unbounded
     max_inflight: int = 2
+    # device-resident training data: decode the train pool once into HBM and
+    # draw every batch on-device inside a scanned epoch (zero per-step H2D;
+    # see train/resident.py). Supported for AUGMENTED_*, FUSS, WHAMR and any
+    # fixed-shape loader.
+    device_data: bool = False
     # mesh model-axis size (1 = pure DP). >1 shards large params over the
     # model axis (storage TP) and, for block_impl='fma' improved models,
     # enables compute TP via activation sharding constraints.

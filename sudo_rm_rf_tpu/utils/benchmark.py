@@ -37,6 +37,52 @@ def flops_of(fn: Callable, *args) -> Optional[float]:
         return None
 
 
+# Per-chip peak matmul throughput (FLOP/s) by device kind, used for MFU
+# accounting (the reference reports raw GMACs via thop,
+# `extract_model_performance.py:147-158`; on TPU the roofline fraction is the
+# actionable number). Values are the published per-chip peaks.
+_TPU_PEAKS = {
+    # device_kind substring -> {dtype: peak FLOP/s}
+    "v5 lite": {"bfloat16": 197e12, "int8": 394e12},
+    "v5e": {"bfloat16": 197e12, "int8": 394e12},
+    "v5p": {"bfloat16": 459e12, "int8": 918e12},
+    "v6 lite": {"bfloat16": 918e12, "int8": 1836e12},
+    "v6e": {"bfloat16": 918e12, "int8": 1836e12},
+    "v4": {"bfloat16": 275e12, "int8": 275e12},
+    "v3": {"bfloat16": 123e12, "int8": 123e12},
+    "v2": {"bfloat16": 45e12, "int8": 45e12},
+}
+
+
+def chip_peak_flops(dtype: str = "bfloat16") -> Optional[float]:
+    """Peak FLOP/s of device 0 for the given matmul dtype, or None when the
+    platform has no table entry (CPU test meshes, unknown chips).
+
+    fp32 maps to the bf16 peak: TPU MXUs have no native fp32 mode — fp32
+    matmuls run as multi-pass bf16 ('highest' precision), so bf16 peak is
+    the hardware ceiling an fp32 config is measured against (its MFU
+    already absorbs the multi-pass cost).
+    """
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    dt = "int8" if "int8" in dtype else "bfloat16"
+    for sub, peaks in _TPU_PEAKS.items():
+        if sub in kind:
+            return peaks[dt]
+    return None
+
+
+def mfu_pct(flops_per_batch: Optional[float], secs_per_batch: float,
+            dtype: str = "bfloat16") -> Optional[float]:
+    """Model FLOPs utilization: measured FLOP/s over the chip peak, in %."""
+    peak = chip_peak_flops(dtype)
+    if not flops_per_batch or not peak or secs_per_batch <= 0:
+        return None
+    return 100.0 * (flops_per_batch / secs_per_batch) / peak
+
+
 def device_memory_stats() -> Dict[str, float]:
     """Per-device live memory (GB) where the backend exposes it."""
     stats = {}
@@ -217,6 +263,9 @@ def benchmark_model(
     result["audio_sec_per_sec"] = batch_size * timelength / secs
     if fl:
         result["gflops_per_batch"] = fl / 1e9
+        m = mfu_pct(fl, secs, dtype or "float32")
+        if m is not None:
+            result["mfu_pct"] = m
     result["memory"] = device_memory_stats()
     return result
 
