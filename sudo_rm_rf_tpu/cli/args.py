@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max train dispatches in flight before the host "
                         "blocks on the oldest (bounds relay queue depth "
                         "and batch-buffer RSS); 0 = unbounded")
+    p.add_argument("--early_stop_patience", type=int, default=0,
+                   help="stop after N epochs without a new best primary "
+                        "val metric (0 = run all epochs)")
     p.add_argument("--device_data", action="store_true",
                    help="device-resident training data: decode the train "
                         "pool into HBM once and draw every batch on-device "
@@ -187,6 +190,7 @@ def args_to_config(args) -> ExperimentConfig:
         upload_dtype=args.upload_dtype,
         max_inflight=args.max_inflight,
         device_data=args.device_data,
+        early_stop_patience=args.early_stop_patience,
         n_model=args.n_model,
         save_checkpoint_every=args.save_checkpoint_every,
         checkpoints_path=args.checkpoints_path,

@@ -180,6 +180,10 @@ class TrainConfig:
     # see train/resident.py). Supported for AUGMENTED_*, FUSS, WHAMR and any
     # fixed-shape loader.
     device_data: bool = False
+    # stop after this many epochs without a new best on the primary val
+    # metric (0 = train all n_epochs; the reference trains a fixed epoch
+    # count and relies on save_if_best — this adds the plateau policy)
+    early_stop_patience: int = 0
     # mesh model-axis size (1 = pure DP). >1 shards large params over the
     # model axis (storage TP) and, for block_impl='fma' improved models,
     # enables compute TP via activation sharding constraints.

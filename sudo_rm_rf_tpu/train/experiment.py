@@ -271,8 +271,42 @@ def run_experiment(
 
         return jax.lax.scan(body, None, (mstack, tstack))[1]
 
+    def _materialize_val_on_device(gen):
+        """AUGMENTED fixed-seed val sets under --device_data: synthesize
+        the whole set ON-DEVICE from the dataset's pre-generated uniform
+        draws (train/resident.py mix_from_draws == the host loader to
+        float tolerance, tests/test_resident.py) — skips thousands of
+        host joblib loads (measured 211 s of the first epoch)."""
+        from sudo_rm_rf_tpu.data.hierarchical import (
+            AugmentedOnlineMixingDataset,
+        )
+        from sudo_rm_rf_tpu.train import resident as resident_lib
+
+        ds = getattr(gen, "dataset", None)
+        if (
+            not config.train.device_data
+            or not isinstance(ds, AugmentedOnlineMixingDataset)
+            or ds.random_draws is None
+        ):
+            return None
+        bs = gen.batch_size
+        n_b = len(ds) // bs
+        if n_b == 0:
+            return None
+        pool = resident_lib.hierarchical_pool_from_dataset(ds)
+        draws = jnp.asarray(ds.random_draws[: n_b * bs], jnp.float32)
+        mix, src = jax.jit(
+            resident_lib.mix_from_draws, static_argnums=(2, 3)
+        )(pool.arrays, draws, pool.t_sel, pool.max_abs_snr)
+        mstack = mix.reshape(n_b, bs, 1, mix.shape[-1])
+        tstack = src.reshape(n_b, bs, src.shape[1], src.shape[-1])
+        return ("pairs", mstack, tstack)
+
     def _materialize_val(gen):
         """-> ('targets', tstack) | ('pairs', mstack, tstack) | None."""
+        on_device = _materialize_val_on_device(gen)
+        if on_device is not None:
+            return on_device
         mixtures, targets = [], []
         for batch in gen:
             if isinstance(batch, (tuple, list)) and len(batch) >= 2:
@@ -318,6 +352,7 @@ def run_experiment(
     history = []
     key = jax.random.key(config.train.seed + 1)
     step = start_epoch * steps_per_epoch
+    best_seen, since_best = -np.inf, 0
     for epoch in range(start_epoch, config.train.n_epochs):
         res_dic: Dict = {"tr_loss": {"acc": []}}
         epoch_start = time.time()
@@ -524,5 +559,23 @@ def run_experiment(
         for metric, vals in res_dic.items():
             if vals["acc"]:
                 logger.log_metric_array(metric, vals["acc"], epoch + 1)
+
+        # plateau-based early stop on the primary val metric (higher =
+        # better). The reference trains a fixed epoch count and relies on
+        # save_if_best; this adds the stop policy so long runs end at the
+        # plateau rather than the epoch budget.
+        if best_key is not None and config.train.early_stop_patience > 0:
+            cur = res_dic[best_key]["mean"]
+            if cur > best_seen + 1e-6:
+                best_seen, since_best = cur, 0
+            else:
+                since_best += 1
+                if since_best >= config.train.early_stop_patience:
+                    print(
+                        f"early stop at epoch {epoch + 1}: no {best_key} "
+                        f"improvement for {since_best} epochs "
+                        f"(best {best_seen:.4f})"
+                    )
+                    break
 
     return state, history

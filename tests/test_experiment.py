@@ -348,3 +348,24 @@ def test_fuss_validation_matches_torch_pipeline(tmp_path):
             np.asarray(vals), want, rtol=1e-3, atol=1e-3,
             err_msg=f"n_actual={n_actual}",
         )
+
+
+def test_early_stop_on_plateau(tiny_config, tmp_path):
+    """--early_stop_patience: lr=0 training never improves val, so a 5-epoch
+    budget must stop after (1 + patience) epochs."""
+    import dataclasses
+
+    from sudo_rm_rf_tpu.train.experiment import run_experiment
+    from sudo_rm_rf_tpu.utils import ExperimentLogger
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, n_epochs=5, learning_rate=0.0,
+            early_stop_patience=1, checkpoints_path=str(tmp_path / "ck"),
+        ),
+        experiment_name="tiny_earlystop",
+    )
+    logger = ExperimentLogger(str(tmp_path), "tiny_earlystop")
+    _, history = run_experiment(cfg, logger=logger)
+    assert len(history) == 2  # epoch 1 sets best, epoch 2 trips patience
