@@ -137,7 +137,12 @@ def improved_forward_fast(
     return ops.unpad_to_length(est, in_len).astype(jnp.float32)
 
 
-def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
+def _einsum_mm(w, v):
+    """Default channel matmul: out[b,o,t] = sum_c w[o,c] v[b,c,t]."""
+    return jnp.einsum("oc,bct->bot", w, v)
+
+
+def gc_uconv_block_fma_merged(x, kp, depth: int, g: int, matmul=None):
     """GC U-ConvBlock with groups MERGED into the channel dim.
 
     The group-folded (B*G, C/G, T) layout leaves 3/4 of the VPU lanes idle
@@ -148,7 +153,12 @@ def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
 
     x: (B, C_out, T) with C_out = g * out_pg; kp: the shared per-group
     kernel params (params_from_flax of the UBlock subtree).
+
+    matmul: optional hook replacing the shared-across-groups 1x1 channel
+    matmuls (proj/res), called as matmul(w (O, C), v (B*G, C, T)) — the
+    int8 serving path (models/quantized.py) injects its MXU int8 dot here.
     """
+    mm = matmul if matmul is not None else _einsum_mm
     b, c_out, t = x.shape
     out_pg = c_out // g
     in_pg = kp["proj_w"].shape[0]
@@ -177,8 +187,8 @@ def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
         return a.astype(o.dtype), bb.astype(o.dtype)
 
     # proj 1x1 (shared across groups) + per-group GlobLN + PReLU
-    xg = x.reshape(b, g, out_pg, t)
-    y = jnp.einsum("bgct,ic->bgit", xg, kp["proj_w"]) + kp["proj_b"][None, None, :, None]
+    y = mm(kp["proj_w"], x.reshape(b * g, out_pg, t)).reshape(b, g, in_pg, t)
+    y = y + kp["proj_b"][None, None, :, None]
     y32 = y.astype(jnp.float32)
     nelem = y32.shape[2] * y32.shape[3]
     s1 = jnp.sum(y32, axis=(2, 3), keepdims=True)
@@ -255,13 +265,12 @@ def gc_uconv_block_fma_merged(x, kp, depth: int, g: int):
     ).astype(accg.dtype)
     accg = sc * accg + sh
     accg = jnp.where(accg >= 0, accg, kp["final_slope"] * accg)
-    out = jnp.einsum("bgit,ci->bgct", accg, kp["res_w"]) + kp["res_b"][
-        None, None, :, None
-    ]
+    out = mm(kp["res_w"], accg.reshape(b * g, in_pg, t)).reshape(b, g, out_pg, t)
+    out = out + kp["res_b"][None, None, :, None]
     return out.reshape(b, c_out, t) + x
 
 
-def _tac_fast(p, x):
+def _tac_fast(p, x, matmuls=None):
     """TAC over (B, G, N, T) with the flax TAC's param subtree
     (groupcomm_sudormrf.py TAC), as explicit einsums.
 
@@ -271,25 +280,31 @@ def _tac_fast(p, x):
     HBM round-trips per block at bs4/4s — split W_out = [W_oy | W_om]
     along its input dim and compute W_oy·y + (W_om·m)[:, None]: the mean
     branch stays at its natural (B, H, T) size until the final add.
+
+    matmuls: optional (mm_in, mm_mean, mm_out) channel-matmul hooks, each
+    mm(w (O, C), v (B', C, T)) — the int8 serving path injects here.
     """
     b, g, n, t = x.shape
-
-    def lin(sub, v):
-        return jnp.einsum("...ct,oc->...ot", v, sub["weight"]) + sub["bias"][
-            ..., :, None
-        ]
+    mm_in, mm_mean, mm_out = matmuls if matmuls is not None else (
+        _einsum_mm, _einsum_mm, _einsum_mm
+    )
 
     def prelu(sub, v):
         return jnp.where(v >= 0, v, sub["weight"][0] * v)
 
-    y = prelu(p["TAC_input_1"], lin(p["TAC_input_0"], x))
+    y = mm_in(p["TAC_input_0"]["weight"], x.reshape(b * g, n, t))
+    h = y.shape[1]
+    y = y.reshape(b, g, h, t) + p["TAC_input_0"]["bias"][None, None, :, None]
+    y = prelu(p["TAC_input_1"], y)
     mean = jnp.mean(y, axis=1)
-    mean = prelu(p["TAC_mean_1"], lin(p["TAC_mean_0"], mean))
-    h = y.shape[2]
+    mean = mm_mean(p["TAC_mean_0"]["weight"], mean) + p["TAC_mean_0"][
+        "bias"
+    ][None, :, None]
+    mean = prelu(p["TAC_mean_1"], mean)
     w_out = p["TAC_output_0"]["weight"]  # (N, 2H)
     out = (
-        jnp.einsum("bgct,oc->bgot", y, w_out[:, :h])
-        + jnp.einsum("bct,oc->bot", mean, w_out[:, h:])[:, None]
+        mm_out(w_out[:, :h], y.reshape(b * g, h, t)).reshape(b, g, n, t)
+        + _einsum_mm(w_out[:, h:], mean)[:, None]
         + p["TAC_output_0"]["bias"][None, None, :, None]
     )
     out = prelu(p["TAC_output_1"], out)

@@ -289,6 +289,241 @@ def calibrate_improved_scales(
     return jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) * margin, observed)
 
 
+# -- GroupComm family ---------------------------------------------------------
+
+GC_ALL_FAMILIES = ("bottleneck", "tac_in", "tac_out", "proj", "res", "mask")
+
+
+def quantize_gc_params(params: dict, compute_dtype=jnp.bfloat16,
+                       families=GC_ALL_FAMILIES) -> dict:
+    """Int8 serving tree for GroupCommSuDORMRF (the 0.51M published config
+    family, `README.md:122`).
+
+    The GC forward is bandwidth- rather than FLOP-bound (BENCHMARKS.md
+    'GroupComm serving path'), so the win here is halved activation traffic
+    into the channel matmuls, not MXU rate: the quantized sites are the
+    shared-across-groups 1x1s with the largest activation operands — TAC
+    input (reads x), the TAC output y-branch (reads the 3x hidden, the
+    single biggest stream), the UBlock proj/res, and the full-width
+    bottleneck / mask head. The TAC mean branch stays float: its operand is
+    G-fold smaller and per-tensor int8 there buys nothing.
+
+    Weights keep a ``compute_dtype`` copy in place (the merged fast path
+    reads shapes/slices off them); the int8 {'q','s'} pairs live in a
+    parallel ``int8`` store consumed by `groupcomm_forward_int8`'s matmul
+    hooks. families: subset of GC_ALL_FAMILIES for per-family attribution.
+    """
+    cdt = jnp.dtype(compute_dtype)
+    required = {"encoder", "ln", "bottleneck", "mask_net_0", "mask_net_1",
+                "decoder", "sm_0"}
+    missing = required - set(params)
+    if not missing and "TAC" not in params["sm_0"]:
+        missing = {"sm_0/TAC"}
+    if missing:
+        raise ValueError(
+            "quantize_gc_params expects the flax 'params' tree of "
+            "GroupCommSuDORMRF (blocks with TAC + UBlock subtrees); "
+            f"missing: {sorted(missing)}. For SuDORMRFImproved trees use "
+            "quantize_improved_params."
+        )
+    num_blocks = len([k for k in params if k.startswith("sm_")])
+    cast = lambda a: jnp.asarray(a).astype(cdt)  # noqa: E731
+
+    def maybe_q(w, family):
+        return quantize_weight_per_channel(jnp.asarray(w)) \
+            if family in families else None
+
+    blocks = []
+    for i in range(num_blocks):
+        bp = params[f"sm_{i}"]
+        tac = jax.tree.map(cast, dict(bp["TAC"]))
+        kp = {k: cast(v) for k, v in params_from_flax(bp["UBlock"]).items()}
+        w_out = jnp.asarray(bp["TAC"]["TAC_output_0"]["weight"])
+        h = bp["TAC"]["TAC_input_0"]["weight"].shape[0]
+        blocks.append({
+            "tac": tac,
+            "kp": kp,
+            "int8": {
+                "tac_in": maybe_q(bp["TAC"]["TAC_input_0"]["weight"], "tac_in"),
+                "tac_out": maybe_q(w_out[:, :h], "tac_out"),
+                "proj": maybe_q(params_from_flax(bp["UBlock"])["proj_w"], "proj"),
+                "res": maybe_q(params_from_flax(bp["UBlock"])["res_w"], "res"),
+            },
+        })
+    return {
+        "encoder": cast(params["encoder"]["weight"]),
+        "ln_gamma": cast(params["ln"]["gamma"]),
+        "ln_beta": cast(params["ln"]["beta"]),
+        "bottleneck_w": cast(params["bottleneck"]["weight"]),
+        "bottleneck_b": cast(params["bottleneck"]["bias"]),
+        "bottleneck_q": maybe_q(
+            params["bottleneck"]["weight"][:, :, 0], "bottleneck"
+        ),
+        "blocks": blocks,
+        "mask_slope": cast(params["mask_net_0"]["weight"][0]),
+        "mask_w": cast(params["mask_net_1"]["weight"]),
+        "mask_b": cast(params["mask_net_1"]["bias"]),
+        "mask_q": maybe_q(params["mask_net_1"]["weight"][:, :, 0], "mask"),
+        "decoder": cast(params["decoder"]["weight"]),
+    }
+
+
+def _gc_forward_int8_impl(
+    qparams: dict,
+    input_wav: jax.Array,
+    num_blocks: int,
+    upsampling_depth: int,
+    enc_kernel_size: int,
+    num_sources: int,
+    group_size: int,
+    in_audio_channels: int,
+    cdt,
+    scales: dict = None,
+    collector: dict = None,
+):
+    """Shared GC int8 forward over the merged fast path
+    (`fast_inference.gc_uconv_block_fma_merged` + `_tac_fast`), with the
+    quantized channel matmuls injected through their hooks."""
+    from sudo_rm_rf_tpu.models.fast_inference import (
+        _einsum_mm,
+        _tac_fast,
+        gc_uconv_block_fma_merged,
+    )
+
+    def site(family, i=None):
+        """mm hook: run int8 if the family was quantized, else the operand
+        passed by the caller (already compute_dtype) through the plain dot."""
+        q = qparams["blocks"][i]["int8"][family] if i is not None else \
+            qparams[f"{family}_q"]
+        col = None if collector is None else collector[family]
+
+        def mm(w, v):
+            if q is None:
+                return _einsum_mm(w, v).astype(cdt)
+            sc = None
+            if scales is not None:
+                sc = scales[family] if i is None else scales[family][i]
+            return _mm_int8(q, v, out_dtype=cdt, scale=sc, collect=col)
+
+        return mm
+
+    if input_wav.ndim == 2:
+        input_wav = input_wav[:, None, :]
+    in_len = input_wav.shape[-1]
+    multiple = (enc_kernel_size // 2) * 2**upsampling_depth
+    x = ops.pad_to_multiple(input_wav, multiple).astype(cdt)
+
+    enc_num_basis = qparams["encoder"].shape[0]
+    out_channels = qparams["bottleneck_w"].shape[0]
+    x = ops.conv1d(
+        x, qparams["encoder"], stride=enc_kernel_size // 2,
+        padding=enc_kernel_size // 2,
+    )
+    s = x
+    x = ops.glob_ln(x, qparams["ln_gamma"], qparams["ln_beta"])
+    x = site("bottleneck")(qparams["bottleneck_w"][:, :, 0], x) \
+        + qparams["bottleneck_b"][None, :, None]
+
+    b, g = x.shape[0], group_size
+    for i in range(num_blocks):
+        blk = qparams["blocks"][i]
+        t = x.shape[-1]
+        y = _tac_fast(
+            blk["tac"], x.reshape(b, g, out_channels // g, t),
+            matmuls=(site("tac_in", i), _einsum_mm, site("tac_out", i)),
+        )
+        x = gc_uconv_block_fma_merged(
+            y.reshape(b, out_channels, t), blk["kp"], upsampling_depth, g,
+            matmul=lambda w, v, _i=i: (
+                site("proj", _i) if w is blk["kp"]["proj_w"]  # noqa: B023
+                else site("res", _i)  # noqa: B023
+            )(w, v),
+        )
+
+    x = jnp.where(x >= 0, x, qparams["mask_slope"] * x)
+    x = site("mask")(qparams["mask_w"][:, :, 0], x) \
+        + qparams["mask_b"][None, :, None]
+    x = x.reshape(b, num_sources * in_audio_channels, enc_num_basis, -1)
+    x = jax.nn.relu(x)
+    x = x * s[:, None, :, :]
+
+    est = ops.conv_transpose1d(
+        x.reshape(b, -1, x.shape[-1]),
+        qparams["decoder"],
+        stride=enc_kernel_size // 2,
+        padding=enc_kernel_size // 2,
+        output_padding=(enc_kernel_size // 2) - 1,
+    )
+    return ops.unpad_to_length(est, in_len).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_blocks", "upsampling_depth", "enc_kernel_size",
+                     "num_sources", "group_size", "in_audio_channels",
+                     "compute_dtype"),
+)
+def groupcomm_forward_int8(
+    qparams: dict,
+    input_wav: jax.Array,
+    num_blocks: int = 16,
+    upsampling_depth: int = 5,
+    enc_kernel_size: int = 21,
+    num_sources: int = 2,
+    group_size: int = 16,
+    in_audio_channels: int = 1,
+    compute_dtype: str = "bfloat16",
+    scales: dict = None,
+) -> jax.Array:
+    """Int8 serving forward over a `quantize_gc_params` tree — the GC
+    counterpart of `improved_forward_int8`, gated by the same fidelity
+    check in bench/tests. scales: static tree from `calibrate_gc_scales`
+    (dynamic per-site absmax when None)."""
+    return _gc_forward_int8_impl(
+        qparams, input_wav, num_blocks, upsampling_depth, enc_kernel_size,
+        num_sources, group_size, in_audio_channels, jnp.dtype(compute_dtype),
+        scales=scales,
+    )
+
+
+def calibrate_gc_scales(
+    qparams: dict,
+    calib_wav: jax.Array,
+    num_blocks: int = 16,
+    upsampling_depth: int = 5,
+    enc_kernel_size: int = 21,
+    num_sources: int = 2,
+    group_size: int = 16,
+    in_audio_channels: int = 1,
+    compute_dtype: str = "bfloat16",
+    margin: float = 1.0,
+) -> dict:
+    """Static per-site activation absmax for the GC int8 path (the GC
+    counterpart of `calibrate_improved_scales`; static scales measured
+    strictly faster than dynamic on the Improved family, BENCHMARKS.md)."""
+
+    @jax.jit
+    def run(qp, x):
+        collector = {k: [] for k in GC_ALL_FAMILIES}
+        _gc_forward_int8_impl(
+            qp, x, num_blocks, upsampling_depth, enc_kernel_size,
+            num_sources, group_size, in_audio_channels,
+            jnp.dtype(compute_dtype), collector=collector,
+        )
+        out = {}
+        for k, v in collector.items():
+            if not v:
+                out[k] = jnp.zeros((0,))
+            elif len(v) == 1:
+                out[k] = v[0]
+            else:
+                out[k] = jnp.stack(v)
+        return out
+
+    observed = run(qparams, jnp.asarray(calib_wav))
+    return jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) * margin, observed)
+
+
 def fidelity_db(ref: jax.Array, est: jax.Array) -> float:
     """Output SNR (dB) of ``est`` against the exact reference output."""
     ref = jnp.asarray(ref, jnp.float32)

@@ -190,6 +190,99 @@ def test_improved_forward_int8_deterministic():
     np.testing.assert_array_equal(a, b)
 
 
+def _gc_small():
+    hp = dict(out_channels=32, in_channels=64, num_blocks=3, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=24, num_sources=2, group_size=4)
+    model = models.GroupCommSuDORMRF(**hp)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 1, 1286)).astype(np.float32)
+    )
+    params = model.init(jax.random.key(2), x)["params"]
+    from sudo_rm_rf_tpu.models.fast_inference import groupcomm_forward_fast
+
+    want = np.asarray(groupcomm_forward_fast(
+        params, x, num_blocks=3, upsampling_depth=3, enc_kernel_size=21,
+        num_sources=2, group_size=4,
+    ))
+    return params, x, want
+
+
+def test_gc_forward_int8_fidelity_and_unquantized_exactness():
+    from sudo_rm_rf_tpu.models.quantized import (
+        groupcomm_forward_int8,
+        quantize_gc_params,
+    )
+
+    params, x, want = _gc_small()
+
+    # families=() runs the identical merged fast path through the hooks in
+    # bf16 — pins the hook plumbing itself (no quantization error source)
+    qp_none = quantize_gc_params(params, families=())
+    got = np.asarray(groupcomm_forward_int8(
+        qp_none, x, num_blocks=3, upsampling_depth=3, enc_kernel_size=21,
+        num_sources=2, group_size=4))
+    assert got.shape == want.shape == (2, 2, 1286)
+    assert fidelity_db(want, got) > 30.0  # bf16-only error
+
+    qp = quantize_gc_params(params)
+    got8 = np.asarray(groupcomm_forward_int8(
+        qp, x, num_blocks=3, upsampling_depth=3, enc_kernel_size=21,
+        num_sources=2, group_size=4))
+    snr = fidelity_db(want, got8)
+    assert snr > 15.0, snr  # untrained random params: adversarial case
+
+
+def test_gc_static_calibrated_scales_match_dynamic():
+    from sudo_rm_rf_tpu.models.quantized import (
+        calibrate_gc_scales,
+        groupcomm_forward_int8,
+        quantize_gc_params,
+    )
+
+    params, _, _ = _gc_small()
+    x1 = jnp.asarray(
+        np.random.default_rng(8).standard_normal((1, 1, 1286)).astype(np.float32)
+    )
+    qp = quantize_gc_params(params)
+    kw = dict(num_blocks=3, upsampling_depth=3, enc_kernel_size=21,
+              num_sources=2, group_size=4)
+    scales = calibrate_gc_scales(qp, x1, **kw)
+    for fam in ("tac_in", "tac_out", "proj", "res"):
+        assert scales[fam].shape == (3,), (fam, scales[fam].shape)
+    assert scales["bottleneck"].shape == () and scales["mask"].shape == ()
+    assert all(float(jnp.min(v)) > 0 for v in jax.tree.leaves(scales))
+
+    # Unlike the Improved family, GC's per-block operands carry the group
+    # axis folded into batch — the dynamic scale is per (batch, group) while
+    # calibration records one per-tensor absmax — so static == dynamic does
+    # NOT hold even at bs1. The property that must hold: the static grid is
+    # a valid (coarser) int8 quantization, i.e. both stay within int8
+    # physics of the float path and of each other.
+    from sudo_rm_rf_tpu.models.fast_inference import groupcomm_forward_fast
+
+    want = np.asarray(groupcomm_forward_fast(
+        params, x1, num_blocks=3, upsampling_depth=3,
+        enc_kernel_size=21, num_sources=2, group_size=4))
+    dyn = np.asarray(groupcomm_forward_int8(qp, x1, **kw))
+    sta = np.asarray(groupcomm_forward_int8(qp, x1, **kw, scales=scales))
+    assert fidelity_db(want, sta) > 15.0, fidelity_db(want, sta)
+    assert fidelity_db(dyn, sta) > 15.0, fidelity_db(dyn, sta)
+    # determinism of the static path
+    sta2 = np.asarray(groupcomm_forward_int8(qp, x1, **kw, scales=scales))
+    np.testing.assert_array_equal(sta, sta2)
+
+
+def test_gc_quantize_rejects_improved_tree():
+    from sudo_rm_rf_tpu.models.quantized import quantize_gc_params
+
+    hp = dict(out_channels=32, in_channels=64, num_blocks=1, upsampling_depth=3,
+              enc_kernel_size=21, enc_num_basis=24, num_sources=2)
+    model = models.SuDORMRFImproved(**hp)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 1, 661)))["params"]
+    with pytest.raises(ValueError, match="GroupCommSuDORMRF"):
+        quantize_gc_params(params)
+
+
 @pytest.mark.slow
 def test_int8_fidelity_at_serving_config_meets_serving_gate():
     """Regression gate at the REAL bench config (U16/512): the tiny-config
