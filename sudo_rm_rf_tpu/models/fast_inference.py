@@ -142,6 +142,38 @@ def _einsum_mm(w, v):
     return jnp.einsum("oc,bct->bot", w, v)
 
 
+def _make_bd_mm(b: int, g: int):
+    """Group-batched block-diagonal channel matmul hook (round-2/3 VERDICT
+    "group-batched kernel": batch the G groups' tiny (C/G -> O/G) shared
+    projections into ONE MXU-shaped dot).
+
+    The GC per-group 1x1 convs contract over C/G = 16..48 channels — a
+    (16..48)-deep contraction uses ~1/8 of the 128-deep MXU systolic array
+    and leaves the group axis as a batch of micro-matmuls. Expanding the
+    shared weight to its block-diagonal merged form W_bd = I_G (x) w
+    ((G*O, G*C)) turns all G projections into a single dense matmul with a
+    G-times-deeper contraction dim: 16x the FLOPs on paper, but the GC
+    forward is bandwidth-bound at these shapes (BENCHMARKS.md) and the
+    activation traffic is unchanged — the MXU eats the extra zeros for
+    free. Numerically exact up to reduction order: the inserted weights
+    are literal 0.0 and contribute nothing to the dot products.
+
+    Returns a hook with the `matmul(w (O, C), v (B*G, C, T))` signature of
+    `gc_uconv_block_fma_merged` / `_tac_fast`.
+    """
+
+    def bd_mm(w, v):
+        o, c = w.shape
+        t = v.shape[-1]
+        w_bd = jnp.einsum(
+            "gh,oc->gohc", jnp.eye(g, dtype=w.dtype), w
+        ).reshape(g * o, g * c)
+        out = jnp.einsum("oc,bct->bot", w_bd, v.reshape(b, g * c, t))
+        return out.reshape(b * g, o, t)
+
+    return bd_mm
+
+
 def gc_uconv_block_fma_merged(x, kp, depth: int, g: int, matmul=None):
     """GC U-ConvBlock with groups MERGED into the channel dim.
 
@@ -335,9 +367,12 @@ def groupcomm_forward_fast(
     """Fast serving forward for GroupCommSuDORMRF over its flax param tree.
 
     impl: 'fma_merged' (default; groups merged into full VPU lanes),
-    'fma' (group-folded), 'pallas', or anything else -> XLA reference.
-    Measured bs4 fp32: merged 10.26 ms vs flax apply 10.48 ms vs folded
-    fma 15.4 ms vs pallas 32 ms (docs/ROADMAP.md item 3).
+    'fma_bd' (merged + block-diagonal group-batched 1x1s: every shared
+    per-group projection — TAC in/out, UBlock proj/res — runs as one
+    full-contraction MXU dot via `_make_bd_mm`), 'fma' (group-folded),
+    'pallas', or anything else -> XLA reference. Measured bs4 fp32:
+    merged 10.26 ms vs flax apply 10.48 ms vs folded fma 15.4 ms vs
+    pallas 32 ms (docs/ROADMAP.md item 3).
 
     The group fold (B, C, T) -> (B*G, C/G, T) runs each shared small
     U-ConvBlock through the FMA formulation; TAC linears are einsums.
@@ -369,15 +404,20 @@ def groupcomm_forward_fast(
 
     b = x.shape[0]
     g = group_size
+    bd_mm = _make_bd_mm(b, g) if impl == "fma_bd" else None
+    tac_mms = (bd_mm, _einsum_mm, bd_mm) if bd_mm is not None else None
     for i in range(num_blocks):
         bp = params[f"sm_{i}"]
         t = x.shape[-1]
-        y = _tac_fast(bp["TAC"], x.reshape(b, g, out_channels // g, t))
+        y = _tac_fast(
+            bp["TAC"], x.reshape(b, g, out_channels // g, t), matmuls=tac_mms
+        )
         y = y.reshape(b * g, out_channels // g, t)
         kp = params_from_flax(bp["UBlock"])
-        if impl == "fma_merged":
+        if impl in ("fma_merged", "fma_bd"):
             x = gc_uconv_block_fma_merged(
-                y.reshape(b, out_channels, t), kp, upsampling_depth, g
+                y.reshape(b, out_channels, t), kp, upsampling_depth, g,
+                matmul=bd_mm,
             )
             continue
         if impl == "pallas":

@@ -279,3 +279,33 @@ def test_groupcomm_forward_fast_merged_and_bf16():
     assert bf.dtype == np.float32
     fidelity_db = 10 * np.log10((want**2).sum() / ((want - bf) ** 2).sum())
     assert fidelity_db > 25.0, f"bf16 fidelity too low: {fidelity_db:.1f} dB"
+
+
+def test_groupcomm_forward_fast_block_diagonal():
+    """impl='fma_bd' (group-batched block-diagonal 1x1s) parity at fp32.
+
+    The block-diagonal merged weight I_G (x) w inserts literal zeros into
+    the contraction, so the path is exact up to reduction order vs
+    fma_merged — same tolerance class as the other serving paths.
+    """
+    from sudo_rm_rf_tpu.models.fast_inference import groupcomm_forward_fast
+
+    hp = dict(
+        in_audio_channels=1, out_channels=32, in_channels=64, num_blocks=2,
+        upsampling_depth=3, enc_kernel_size=21, enc_num_basis=24,
+        num_sources=2, group_size=4,
+    )
+    model = models.GroupCommSuDORMRF(**hp)
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((3, 1, 661)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(variables, x))
+    got = np.asarray(
+        groupcomm_forward_fast(
+            variables["params"], x, impl="fma_bd", num_blocks=2,
+            upsampling_depth=3, enc_kernel_size=21, num_sources=2,
+            group_size=4,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
