@@ -281,6 +281,15 @@ class StabilizedPermInvSISDRMetric:
         pr_powers = jnp.sum(pr * pr, axis=-1)[:, :, None]  # (B, Se, 1)
         inner_sq = jnp.sum(pr[:, :, None, :] * t[:, None, :, :], axis=-1) ** 2
         rho_sq = inner_sq / (pr_powers * t_powers[:, None, :] + eps)
+        # Cauchy-Schwarz bounds the true rho^2 at 1; float32 rounding can
+        # land a hair above when estimate == target (e.g. the improvement
+        # baseline on an example whose other sources are silent in the
+        # crop), turning 1 - rho^2 + eps negative -> log10(NaN) that the
+        # batch-mean then spreads to every sample. The clamp only removes
+        # that rounding excursion (the reference metric NaNs here,
+        # `sisdr.py:507-514`); clamped-at-1 values hit the +90 dB eps
+        # ceiling, the stabilizer's intended behavior.
+        rho_sq = jnp.clip(rho_sq, 0.0, 1.0)
         return 10.0 * jnp.log10((rho_sq + eps) / (1.0 - rho_sq + eps))
 
     def __call__(
@@ -316,7 +325,9 @@ class StabilizedPermInvSISDRMetric:
             )
             mix_powers = jnp.sum(mix * mix, axis=-1)
             inner_sq = jnp.sum(mix * t_batch, axis=-1) ** 2
-            rho_sq = inner_sq / (mix_powers * t_powers + eps)
+            rho_sq = jnp.clip(
+                inner_sq / (mix_powers * t_powers + eps), 0.0, 1.0
+            )
             base = 10.0 * jnp.log10((rho_sq + eps) / (1.0 - rho_sq + eps))
             best_sisdr = best_sisdr - jnp.mean(base)
 

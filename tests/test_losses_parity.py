@@ -392,3 +392,29 @@ def test_bss_eval_sources_finite_on_perfect_separation():
         assert np.isfinite(got[key]).all(), (key, got[key])
     assert (got["sir"] > 40).all()
     np.testing.assert_array_equal(got["perm"], [[1, 0], [1, 0]])
+
+
+def test_stabilized_metric_finite_when_mixture_equals_target():
+    """Variable-count FUSS crops can leave all-but-one source silent, making
+    the improvement baseline's mixture EQUAL a target: float32 rounding then
+    pushes rho^2 past 1 and 1-rho^2+eps negative -> NaN in the reference
+    formula (`sisdr.py:507-514`), which the batch-mean spreads to every
+    sample. The clamp keeps the metric finite (+90 dB eps ceiling)."""
+    t = np.random.default_rng(5).standard_normal((3, 3, 4000)).astype(np.float32)
+    t[0, 1:] = 0.0  # example whose mixture == its only active source
+    est = np.random.default_rng(6).standard_normal((3, 4, 4000)).astype(np.float32)
+    m = losses.StabilizedPermInvSISDRMetric(
+        n_estimated_sources=4, n_actual_sources=3, zero_mean=True,
+        improvement=True, backward_loss=False, return_individual_results=True,
+    )
+    vals = np.asarray(m(jnp.asarray(est), jnp.asarray(t)))
+    assert np.isfinite(vals).all(), vals
+    # perfect estimate of a sane batch also stays finite (rho == 1 path)
+    vals2 = np.asarray(
+        losses.StabilizedPermInvSISDRMetric(
+            n_estimated_sources=3, n_actual_sources=3, zero_mean=True,
+            improvement=False, backward_loss=False,
+            return_individual_results=True,
+        )(jnp.asarray(t[1:]), jnp.asarray(t[1:]))
+    )
+    assert np.isfinite(vals2).all(), vals2
