@@ -302,6 +302,20 @@ def run_experiment(
         tstack = src.reshape(n_b, bs, src.shape[1], src.shape[-1])
         return ("pairs", mstack, tstack)
 
+    def _val_mixture(m):
+        """Loaders yield either a precomputed (B, T) mixture (WHAM-family)
+        or a (B, S, T) stack of input sources (WHAMR reverberant s1/s2 +
+        noise): the reference's val builds the model input as the
+        standardized sum of the stack
+        (`run_improved_sudormrf_reverb.py:205-208`)."""
+        m = np.asarray(m)
+        if m.ndim == 2:
+            return m[:, None, :]
+        if m.shape[1] > 1:
+            summed = augment_lib.normalize_wav(jnp.asarray(m).sum(axis=1))
+            return np.asarray(summed)[:, None, :]
+        return m
+
     def _materialize_val(gen):
         """-> ('targets', tstack) | ('pairs', mstack, tstack) | None."""
         on_device = _materialize_val_on_device(gen)
@@ -310,8 +324,7 @@ def run_experiment(
         mixtures, targets = [], []
         for batch in gen:
             if isinstance(batch, (tuple, list)) and len(batch) >= 2:
-                m = np.asarray(batch[0])
-                mixtures.append(m[:, None, :] if m.ndim == 2 else m)
+                mixtures.append(_val_mixture(batch[0]))
                 targets.append(np.asarray(batch[-1]))
             else:
                 targets.append(np.asarray(batch))
@@ -501,9 +514,7 @@ def run_experiment(
                 else:
                     for batch in gen:
                         if isinstance(batch, (tuple, list)) and len(batch) >= 2:
-                            mixture, targets = batch[0], batch[-1]
-                            if mixture.ndim == 2:
-                                mixture = mixture[:, None, :]
+                            mixture, targets = _val_mixture(batch[0]), batch[-1]
                         else:  # variable-count sources, no per-count split
                             targets = batch
                             mixture = np.asarray(targets).sum(1, keepdims=True)
