@@ -1,0 +1,122 @@
+"""Short at-scale convergence runs for the attention families (chip).
+
+The reference trains the attentive zoo and SepFormer
+(`run_attentive_sudormrf.py:88-150`); round-3 VERDICT missing #3 asked for
+convergence demonstrations at REAL shapes, not just the toy trainer tests.
+This drives the real Trainer (remix recipe, PIT SI-SDR, grad clip, Adam)
+on the synthetic speaker corpus for a few hundred steps and writes a
+loss-curve artifact under docs/runs/.
+
+  * attentive v2: reference parser defaults (out_channels=128, U16/512,
+    att_dims=256/4 heads, `improved_cmd_args_parser_v2.py:154-190`) with
+    scan_blocks, 4 s @ 8 kHz, bs4.
+  * sepformer: the published SpeechBrain config (25.7M params) with
+    scan_layers, bs1 (the reference README trains/bench's it at bs1),
+    unclamped loss (a random-init SepFormer starts saturated at the
+    reference's +-30 clamp, see tests/test_trainer.py).
+
+Usage:
+    python scripts/attention_convergence.py --model attention_v2 \
+        [--steps 300] [--bs 4] [--corpus .artifacts/corpus/train] \
+        [--out docs/runs/attention_v2_synth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SR, SECS = 8000, 4.0
+CHAIN = 25
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True,
+                    choices=["attention", "attention_v2", "attention_v3",
+                             "sepformer"])
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--corpus", default=".artifacts/corpus/train")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--compute_dtype", default=None)
+    args = ap.parse_args()
+
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.data.hierarchical import AugmentedOnlineMixingDataset
+    from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
+
+    if args.model == "sepformer":
+        model = models.get_model("sepformer", scan_layers=True)
+        bs = 1 if args.bs == 4 else args.bs  # published config trains bs1
+        loss_clamp = 0.0
+    else:
+        model = models.get_model(
+            args.model, out_channels=128, in_channels=512, num_blocks=16,
+            upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
+            num_sources=2, n_heads=4, att_dims=256, att_dropout=0.1,
+            scan_blocks=True,
+        )
+        bs = args.bs
+        loss_clamp = 30.0
+
+    t = int(SR * SECS)
+    ds = AugmentedOnlineMixingDataset(
+        input_dataset_p=[args.corpus], datasets_priors=[1.0],
+        sample_rate=SR, selected_timelength=SECS,
+        n_samples=args.steps * bs,
+    )
+    gen = ds.get_generator(batch_size=bs, shuffle=True, num_workers=2)
+
+    trainer = Trainer(
+        model,
+        TrainerConfig(learning_rate=1e-3, loss_clamp=loss_clamp,
+                      compute_dtype=args.compute_dtype),
+    )
+    state = trainer.init_state(jax.random.key(0), jnp.zeros((bs, 1, t)))
+
+    out = args.out or f"docs/runs/{args.model}_synth"
+    os.makedirs(out, exist_ok=True)
+    losses, chunk, key = [], [], jax.random.key(1)
+    t0 = time.time()
+    for batch in gen:
+        sources = np.asarray(batch[-1] if isinstance(batch, (tuple, list))
+                             else batch)
+        chunk.append(sources)
+        if len(chunk) < CHAIN:
+            continue
+        state, metrics, key = trainer.train_steps(
+            state, np.stack(chunk), key
+        )
+        losses.extend(np.asarray(metrics["loss"]).tolist())
+        chunk = []
+        print(f"step {len(losses)}: loss {losses[-1]:.3f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        if len(losses) >= args.steps:
+            break
+
+    with open(os.path.join(out, "loss_curve.jsonl"), "w") as fh:
+        for i, l in enumerate(losses):
+            fh.write(json.dumps({"step": i + 1, "tr_loss": l}) + "\n")
+    k = max(len(losses) // 10, 1)
+    first, last = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
+    summary = {
+        "model": args.model, "bs": bs, "steps": len(losses),
+        "compute_dtype": args.compute_dtype or "float32",
+        "first_mean_loss": round(first, 3), "last_mean_loss": round(last, 3),
+        "improved": bool(last < first),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(out, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
