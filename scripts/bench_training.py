@@ -93,6 +93,9 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="flagship bf16 rows + GC rows only")
     ap.add_argument("--n_hi", type=int, default=21)
+    ap.add_argument("--attention_only", action="store_true",
+                    help="only the attention-family rows (attentive zoo + "
+                         "SepFormer); skips the U16/GC sweeps")
     args = ap.parse_args()
 
     u16 = dict(out_channels=256, in_channels=512, num_blocks=16,
@@ -101,13 +104,16 @@ def main():
     rows = []
 
     sweep = []
-    for bs in (4, 8, 16):
-        for dt in (None, "bfloat16"):
-            if args.quick and (dt is None and bs != 8):
-                continue
-            sweep.append((bs, dt, False))
-    if not args.quick:
-        sweep.append((8, "bfloat16", True))  # remat leg at the sweet spot
+    if args.attention_only:
+        sweep = []
+    else:
+        for bs in (4, 8, 16):
+            for dt in (None, "bfloat16"):
+                if args.quick and (dt is None and bs != 8):
+                    continue
+                sweep.append((bs, dt, False))
+        if not args.quick:
+            sweep.append((8, "bfloat16", True))  # remat leg
 
     for bs, dt, remat in sweep:
         model = models.SuDORMRFImproved(**u16, block_impl="fma",
@@ -122,46 +128,33 @@ def main():
         rows.append(row(name, secs, bs))
         print(json.dumps(rows[-1]))
 
-    # attribution at the winning flagship config
-    best = min((r for r in rows if "ms_per_step" in r),
-               key=lambda r: r["ms_per_step"] / r["examples_per_sec"])
-    bs = int(best["config"].split("_bs")[1].split("_")[0])
-    dt = "bfloat16" if "bfloat16" in best["config"] else None
-    model = models.SuDORMRFImproved(**u16, block_impl="fma")
-    for tag, kw in (
-        ("noaugment", dict(augment=False)),
-        ("noclamp", dict(loss_clamp=0.0)),
-        ("fwdbwd_only", dict(optimizer=False)),
-    ):
-        try:
-            secs = time_train_step(model, bs, dt, n_hi=args.n_hi, **kw)
-            rows.append(row(f"attrib_{tag}_bs{bs}_{dt or 'fp32'}", secs, bs))
-            print(json.dumps(rows[-1]))
-        except Exception as e:
-            rows.append({"config": f"attrib_{tag}", "error": repr(e)[:200]})
+    if not args.attention_only:
+        # attribution at the winning flagship config
+        best = min((r for r in rows if "ms_per_step" in r),
+                   key=lambda r: r["ms_per_step"] / r["examples_per_sec"])
+        bs = int(best["config"].split("_bs")[1].split("_")[0])
+        dt = "bfloat16" if "bfloat16" in best["config"] else None
+        model = models.SuDORMRFImproved(**u16, block_impl="fma")
+        for tag, kw in (
+            ("noaugment", dict(augment=False)),
+            ("noclamp", dict(loss_clamp=0.0)),
+            ("fwdbwd_only", dict(optimizer=False)),
+        ):
+            try:
+                secs = time_train_step(model, bs, dt, n_hi=args.n_hi, **kw)
+                rows.append(row(f"attrib_{tag}_bs{bs}_{dt or 'fp32'}", secs,
+                                bs))
+                print(json.dumps(rows[-1]))
+            except Exception as e:
+                rows.append({"config": f"attrib_{tag}",
+                             "error": repr(e)[:200]})
 
-    # plain-conv ('xla') blocks at the serving sweet spot: bs8 bf16 is where
-    # the conv path beat fma for SERVING (BENCHMARKS.md headline) and where
-    # GC's xla path beat fma for training — measure the same for U16
-    for bs, dt in ((4, "bfloat16"), (8, "bfloat16"), (8, None)):
-        model = models.SuDORMRFImproved(**u16, block_impl="xla")
-        name = f"u16_xla_bs{bs}_{dt or 'fp32'}"
-        try:
-            secs = time_train_step(model, bs, dt, n_hi=args.n_hi)
-        except Exception as e:
-            rows.append({"config": name, "error": repr(e)[:200]})
-            continue
-        rows.append(row(name, secs, bs))
-        print(json.dumps(rows[-1]))
-
-    # GroupComm training step: reference blocks vs trainable fma blocks
-    gc = dict(out_channels=256, in_channels=512, num_blocks=16,
-              upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
-              num_sources=2, group_size=16)
-    for impl in ("xla", "fma"):
-        for bs, dt in ((8, None), (8, "bfloat16")):
-            model = models.GroupCommSuDORMRF(**gc, block_impl=impl)
-            name = f"gc_{impl}_bs{bs}_{dt or 'fp32'}"
+        # plain-conv ('xla') blocks at the serving sweet spot: bs8 bf16 is
+        # where the conv path beat fma for SERVING (BENCHMARKS.md headline)
+        # and where GC's xla path beat fma for training — same for U16
+        for bs, dt in ((4, "bfloat16"), (8, "bfloat16"), (8, None)):
+            model = models.SuDORMRFImproved(**u16, block_impl="xla")
+            name = f"u16_xla_bs{bs}_{dt or 'fp32'}"
             try:
                 secs = time_train_step(model, bs, dt, n_hi=args.n_hi)
             except Exception as e:
@@ -169,6 +162,22 @@ def main():
                 continue
             rows.append(row(name, secs, bs))
             print(json.dumps(rows[-1]))
+
+        # GroupComm training step: reference blocks vs trainable fma blocks
+        gc = dict(out_channels=256, in_channels=512, num_blocks=16,
+                  upsampling_depth=5, enc_kernel_size=21, enc_num_basis=512,
+                  num_sources=2, group_size=16)
+        for impl in ("xla", "fma"):
+            for bs, dt in ((8, None), (8, "bfloat16")):
+                model = models.GroupCommSuDORMRF(**gc, block_impl=impl)
+                name = f"gc_{impl}_bs{bs}_{dt or 'fp32'}"
+                try:
+                    secs = time_train_step(model, bs, dt, n_hi=args.n_hi)
+                except Exception as e:
+                    rows.append({"config": name, "error": repr(e)[:200]})
+                    continue
+                rows.append(row(name, secs, bs))
+                print(json.dumps(rows[-1]))
 
     # Attention families (round-3 VERDICT missing #3: the reference trains
     # the attentive zoo and SepFormer, `run_attentive_sudormrf.py:88-150`,
