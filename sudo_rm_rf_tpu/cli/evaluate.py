@@ -179,9 +179,15 @@ def main(argv=None):
                "sar": []}
     for batch in loader:
         if isinstance(batch, (tuple, list)):
-            mixture, targets = batch[0], batch[-1]
+            mixture, targets = np.asarray(batch[0]), batch[-1]
             if mixture.ndim == 2:
                 mixture = mixture[:, None, :]
+            elif mixture.shape[1] > 1:
+                # WHAMR-style (B, S, T) input-source stack (reverberant
+                # s1/s2 + noise): the eval input is the sum of the stack
+                # (`run_improved_sudormrf_reverb.py:205-208`; the forward
+                # standardizes it)
+                mixture = mixture.sum(axis=1, keepdims=True)
         else:
             targets = batch
             mixture = np.asarray(batch).sum(1, keepdims=True)
