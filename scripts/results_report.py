@@ -87,7 +87,25 @@ def load_run(run_dir):
                     {k: v for k, v in rec.items() if isinstance(v, (int, float))}
                 )
     out["rows"] = [dict(epoch=ep, **vals) for ep, vals in sorted(per_epoch.items())]
+    spath = os.path.join(run_dir, "summary.json")
+    if os.path.exists(spath):
+        out["summary"] = json.load(open(spath))
     return out
+
+
+def render_convergence_run(run):
+    """Short-convergence artifact (scripts/attention_convergence.py):
+    summary.json + loss_curve.jsonl, no per-epoch metrics."""
+    s = run["summary"]
+    lines = [f"### {run['name']} (convergence run)", ""]
+    lines.append(
+        f"{s.get('model')} — {s.get('steps')} real Trainer steps, "
+        f"bs{s.get('bs')}, {s.get('compute_dtype')}: mean loss "
+        f"{s.get('first_mean_loss')} → {s.get('last_mean_loss')} "
+        f"({'improved' if s.get('improved') else 'did NOT improve'}, "
+        f"{s.get('wall_s')} s wall)")
+    lines.append("")
+    return lines
 
 
 def lr_decay_epochs(hparams, n_epochs):
@@ -208,10 +226,12 @@ def render(repo):
     found = False
     for rd in run_dirs:
         run = load_run(rd)
-        if not (run["rows"] or run["hparams"]):
-            continue
-        found = True
-        lines += render_run(run)
+        if run["rows"] or run["hparams"]:
+            found = True
+            lines += render_run(run)
+        elif run.get("summary"):
+            found = True
+            lines += render_convergence_run(run)
     if not found:
         lines.append("_no run artifacts found_")
     lines += [
