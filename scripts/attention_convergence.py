@@ -42,19 +42,22 @@ def main():
                     choices=["attention", "attention_v2", "attention_v3",
                              "sepformer"])
     ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--bs", type=int, default=None,
+                    help="default: 1 for sepformer (published config), else 4")
     ap.add_argument("--corpus", default=".artifacts/corpus/train")
     ap.add_argument("--out", default=None)
     ap.add_argument("--compute_dtype", default=None)
+    ap.add_argument("--grad_accum", type=int, default=1)
     args = ap.parse_args()
 
     from sudo_rm_rf_tpu import models
     from sudo_rm_rf_tpu.data.hierarchical import AugmentedOnlineMixingDataset
     from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
 
+    train_dropout = False
     if args.model == "sepformer":
         model = models.get_model("sepformer", scan_layers=True)
-        bs = 1 if args.bs == 4 else args.bs  # published config trains bs1
+        bs = args.bs if args.bs is not None else 1  # published config: bs1
         loss_clamp = 0.0
     else:
         model = models.get_model(
@@ -63,8 +66,11 @@ def main():
             num_sources=2, n_heads=4, att_dims=256, att_dropout=0.1,
             scan_blocks=True,
         )
-        bs = args.bs
+        bs = args.bs if args.bs is not None else 4
         loss_clamp = 30.0
+        # reference trains the attentive zoo in torch train mode, i.e. with
+        # dropout active — plumb a real 'dropout' rng through the Trainer
+        train_dropout = True
 
     t = int(SR * SECS)
     ds = AugmentedOnlineMixingDataset(
@@ -77,7 +83,9 @@ def main():
     trainer = Trainer(
         model,
         TrainerConfig(learning_rate=1e-3, loss_clamp=loss_clamp,
-                      compute_dtype=args.compute_dtype),
+                      compute_dtype=args.compute_dtype,
+                      train_dropout=train_dropout,
+                      grad_accum_steps=args.grad_accum),
     )
     state = trainer.init_state(jax.random.key(0), jnp.zeros((bs, 1, t)))
 
@@ -108,6 +116,7 @@ def main():
     first, last = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
     summary = {
         "model": args.model, "bs": bs, "steps": len(losses),
+        "grad_accum": args.grad_accum, "train_dropout": train_dropout,
         "compute_dtype": args.compute_dtype or "float32",
         "first_mean_loss": round(first, 3), "last_mean_loss": round(last, 3),
         "improved": bool(last < first),

@@ -183,8 +183,17 @@ def main(argv=None):
             if mixture.ndim == 2:
                 mixture = mixture[:, None, :]
             elif mixture.shape[1] > 1:
-                # WHAMR-style (B, S, T) input-source stack (reverberant
-                # s1/s2 + noise): the eval input is the sum of the stack
+                if args.dataset != "WHAMR":
+                    # a multi-channel axis here would be a genuine (B, C, T)
+                    # mixture, not a source stack — refuse rather than
+                    # silently summing channels into mono
+                    raise SystemExit(
+                        f"{args.dataset} yielded a (B, {mixture.shape[1]}, T) "
+                        "first tensor; only WHAMR input-source stacks are "
+                        "summed to mono here"
+                    )
+                # WHAMR (B, S, T) input-source stack (reverberant s1/s2 +
+                # noise): the eval input is the sum of the stack
                 # (`run_improved_sudormrf_reverb.py:205-208`; the forward
                 # standardizes it)
                 mixture = mixture.sum(axis=1, keepdims=True)

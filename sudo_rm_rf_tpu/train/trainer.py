@@ -64,15 +64,31 @@ def donation_ok(mesh: Optional[Mesh] = None) -> bool:
 
 
 def stepped_lr_schedule(
-    learning_rate: float, divide_lr_by: float, patience_epochs: int, steps_per_epoch: int
+    learning_rate: float,
+    divide_lr_by: float,
+    patience_epochs: int,
+    steps_per_epoch: int,
+    epoch_end_phase: bool = False,
 ):
-    """lr / divide_lr_by ** (epoch // patience) (`run_improved_sudormrf.py:179-186`)."""
+    """lr / divide_lr_by ** (epoch // patience) (`run_improved_sudormrf.py:179-186`).
+
+    epoch_end_phase=True reproduces the reference's exact decay *phase*: the
+    reference checks ``tr_step % patience`` at the END of each epoch and the
+    new LR only takes effect the FOLLOWING epoch (`run_improved_sudormrf.py:
+    179-187`, tr_step increments after the update), so epoch e (0-based)
+    trains at lr / div ** max(0, (e-1) // patience) — one epoch later than
+    the epoch-start phase this framework uses by default.
+    """
 
     def schedule(step):
         if patience_epochs <= 0:
             return learning_rate
         epoch = step // max(steps_per_epoch, 1)
-        return learning_rate / (divide_lr_by ** (epoch // patience_epochs))
+        if epoch_end_phase:
+            exponent = jnp.maximum(0, (epoch - 1) // patience_epochs)
+        else:
+            exponent = epoch // patience_epochs
+        return learning_rate / (divide_lr_by**exponent)
 
     return schedule
 
@@ -91,6 +107,9 @@ class TrainerConfig:
     steps_per_epoch: int = 1
     clip_grad_norm: float = 5.0
     loss_clamp: float = 30.0  # 0 disables; reference uses 30 (50 for WHAMR)
+    # reference-exact LR decay phase (decays take effect one epoch later,
+    # matching run_improved_sudormrf.py:179-187); see stepped_lr_schedule.
+    lr_decay_at_epoch_end: bool = False
     mixture_consistency: Optional[str] = None  # None | 'uniform' | 'magsq'
     # 'adam' (SuDo runners) or 'radam_cosine' (baseline_runner.py:112-127:
     # RAdam + linear warmup + cosine annealing)
@@ -110,6 +129,11 @@ class TrainerConfig:
     # tensor parallelism: shard large params' output-channel dims over the
     # mesh 'model' axis (parallel.tp_param_shardings). No-op on model=1.
     shard_params: bool = False
+    # train-time dropout: pass deterministic=False plus a 'dropout' RNG to
+    # model.apply inside the train step (the attentive zoo's Dropout layers;
+    # reference trains them in torch train mode, `attentive_sudormrf.py`).
+    # Off by default — models without a `deterministic` kwarg don't accept it.
+    train_dropout: bool = False
     # host->device batch transfer dtype: batches are cast host-side before
     # upload and upcast back to fp32 as the first op of the jitted step, so
     # the ONLY numerics change is waveform quantization at the transfer
@@ -174,6 +198,7 @@ class Trainer:
                 config.divide_lr_by,
                 config.patience_epochs,
                 config.steps_per_epoch,
+                epoch_end_phase=config.lr_decay_at_epoch_end,
             )
             opt = optax.adam(schedule)
         self.tx = optax.chain(clip, opt)
@@ -222,8 +247,16 @@ class Trainer:
 
     # -- steps ---------------------------------------------------------------
 
-    def _forward(self, params, mixture):
-        est = self.model.apply({"params": params}, mixture)
+    def _forward(self, params, mixture, dropout_rng=None):
+        if dropout_rng is not None:
+            est = self.model.apply(
+                {"params": params},
+                mixture,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+        else:
+            est = self.model.apply({"params": params}, mixture)
         if self.config.mixture_consistency is not None:
             mix = mixture if mixture.ndim == 3 else mixture[:, None, :]
             est = losses_lib.mixture_consistency(
@@ -248,6 +281,13 @@ class Trainer:
         )
 
     def _train_step_impl(self, state: TrainState, batch, key: jax.Array):
+        if self.config.train_dropout:
+            # key-splitting only when enabled, so the default path's RNG
+            # stream (and the chained==sequential bit-identity test) is
+            # untouched
+            key, dropout_key = jax.random.split(key)
+        else:
+            dropout_key = None
         mixture, targets = self.prepare_batch(key, self._upcast_batch(batch))
         cdtype = (
             jnp.dtype(self.config.compute_dtype)
@@ -255,11 +295,11 @@ class Trainer:
             else None
         )
 
-        def loss_of_batch(params, mix, tgt):
+        def loss_of_batch(params, mix, tgt, dkey=dropout_key):
             if cdtype is not None:
                 params = jax.tree.map(lambda a: a.astype(cdtype), params)
                 mix = mix.astype(cdtype)
-            est = self._forward(params, mix).astype(jnp.float32)
+            est = self._forward(params, mix, dropout_rng=dkey).astype(jnp.float32)
             loss = self.loss_fn(est, tgt)
             if self.config.loss_clamp > 0:
                 loss = jnp.clip(loss, -self.config.loss_clamp, self.config.loss_clamp)
@@ -283,9 +323,14 @@ class Trainer:
             m_mix, m_tgt = micro(mixture), micro(targets)
 
             def accum(carry, mb):
-                mixture_i, targets_i = mb
+                i, mixture_i, targets_i = mb
+                dkey_i = (
+                    jax.random.fold_in(dropout_key, i)
+                    if dropout_key is not None
+                    else None
+                )
                 loss_i, grads_i = jax.value_and_grad(
-                    lambda p: loss_of_batch(p, mixture_i, targets_i)
+                    lambda p: loss_of_batch(p, mixture_i, targets_i, dkey_i)
                 )(state.params)
                 loss_acc, grads_acc = carry
                 return (
@@ -295,7 +340,7 @@ class Trainer:
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
             (loss, grads), _ = jax.lax.scan(
-                accum, (jnp.zeros(()), zeros), (m_mix, m_tgt)
+                accum, (jnp.zeros(()), zeros), (jnp.arange(k), m_mix, m_tgt)
             )
         else:
             loss, grads = jax.value_and_grad(loss_of)(state.params)

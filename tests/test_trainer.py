@@ -508,3 +508,58 @@ def test_attention_family_trains(name, kwargs):
         if first is None:
             first = loss
     assert loss < first, (name, first, loss)
+
+
+def test_stepped_lr_schedule_epoch_end_phase():
+    """epoch_end_phase reproduces the reference's decay timing: the check
+    fires at the END of each epoch and takes effect the NEXT epoch
+    (`run_improved_sudormrf.py:179-187`), so every decay lands one epoch
+    later than the default epoch-start phase."""
+    sched = stepped_lr_schedule(
+        1e-3, 3.0, patience_epochs=5, steps_per_epoch=10, epoch_end_phase=True
+    )
+    # simulate the reference loop: epoch e (0-based) trains at the lr set at
+    # the end of epoch e-1; tr_step == epoch at check time
+    lr = 1e-3
+    want = {}
+    for tr_step in range(14):
+        want[tr_step] = lr
+        if tr_step % 5 == 0:
+            lr = 1e-3 / (3.0 ** (tr_step // 5))
+    for epoch, lr_want in want.items():
+        for step in (epoch * 10, epoch * 10 + 9):
+            assert float(sched(step)) == pytest.approx(lr_want), (epoch, step)
+
+
+def test_train_dropout_rng_fires_and_default_is_deterministic():
+    """train_dropout=True must make the attentive Dropout layers draw from
+    a real 'dropout' rng (different keys -> different losses on identical
+    data); the default path stays deterministic."""
+    kwargs = dict(
+        out_channels=16, in_channels=32, num_blocks=2, upsampling_depth=2,
+        enc_kernel_size=9, enc_num_basis=16, num_sources=2, n_heads=2,
+        att_dims=16, att_dropout=0.5, scan_blocks=True,
+    )
+    model = models.get_model("attention_v2", **kwargs)
+    src = _sources(b=8, t=1600, seed=13)
+    prep = lambda key, b: (b.sum(1, keepdims=True), b)
+
+    def first_loss(train_dropout, key_seed):
+        trainer = Trainer(
+            model,
+            TrainerConfig(learning_rate=1e-3, loss_clamp=0.0,
+                          train_dropout=train_dropout),
+            prepare_batch=prep,
+        )
+        state = trainer.init_state(jax.random.key(0), jnp.zeros((8, 1, 1600)))
+        _, metrics = trainer.train_step(
+            state, jnp.asarray(src), jax.random.key(key_seed)
+        )
+        return float(metrics["loss"])
+
+    # deterministic path: key only drives augmentation; prep ignores it here
+    assert first_loss(False, 1) == pytest.approx(first_loss(False, 2))
+    # dropout path: different keys -> different masks -> different losses
+    la, lb = first_loss(True, 1), first_loss(True, 2)
+    assert np.isfinite(la) and np.isfinite(lb)
+    assert la != pytest.approx(lb, abs=1e-6)
