@@ -498,6 +498,356 @@ def _gc_seq_forward_shard(
     return out.astype(jnp.float32)
 
 
+def _pe_at(idx, d_model: int, dtype):
+    """Sinusoidal positional encoding evaluated at GLOBAL frame indices.
+
+    `models.attentive.sinusoidal_pe` tabulates positions 0..L-1 for the whole
+    sequence; under time sharding each shard holds frames at global offsets
+    that depend on `lax.axis_index`, so the encoding is evaluated pointwise
+    at an int32 index vector instead (identical values at in-range indices;
+    out-of-global halo indices produce garbage that the mask/crop discipline
+    already discards). Matches the reference layout for even d_model
+    (`attentive_sudormrf_v2.py:180-196`): even columns sin, odd columns cos.
+    """
+    pos = idx.astype(jnp.float32)[:, None]
+    half = d_model // 2
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-np.log(10000.0) / d_model)
+    )
+    ang = pos * div[None, :]  # (L, half)
+    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(-1, 2 * half)
+    return pe.astype(dtype)
+
+
+def _gather_owned(x, owned, axis, n_shards):
+    """All-gather every shard's OWNED frames of a (B, C, T_local) tensor into
+    the exact global sequence (B, C, n_shards * owned_len), in shard order."""
+    s, l = owned
+    o = lax.slice_in_dim(x, s, s + l, axis=2)
+    g = lax.all_gather(o, axis)  # (n_shards, B, C, l)
+    b, c = x.shape[0], x.shape[1]
+    return jnp.moveaxis(g, 0, 2).reshape(b, c, n_shards * l)
+
+
+def _lin_cl(sub, v):
+    """torch.nn.Linear on a channels-LAST (B, L, C) tensor."""
+    return jnp.einsum("blc,oc->blo", v, sub["weight"]) + sub["bias"]
+
+
+def _lin_cf(sub, v):
+    """torch.nn.Linear on a channels-first (B, C, T) tensor
+    (`groupcomm_sudormrf.Linear` semantics)."""
+    return jnp.einsum("bct,oc->bot", v, sub["weight"]) + sub["bias"][None, :, None]
+
+
+def _prelu(sub, v):
+    w = sub["weight"]
+    slope = w[0] if w.shape[0] == 1 else w.reshape((1, -1) + (1,) * (v.ndim - 2))
+    return jnp.where(v >= 0, v, slope * v)
+
+
+def _mha_global_kv(p, q, kv, n_heads):
+    """`attentive.MHAttentionLayer` with q LOCAL (B, Lq, C) and k/v the
+    all-gathered GLOBAL sequence (B, Lkv, C). Exactness: attention is a
+    pointwise function of (query frame, full k/v set) — computing it for
+    local queries against the gathered global keys equals the unsharded
+    global self-attention at every in-range query position."""
+    b, q_len, _ = q.shape
+    kv_len = kv.shape[1]
+    d = p["Q_proj"]["weight"].shape[0]
+    h = n_heads
+    d_head = d // h
+    qh = (1.0 / np.sqrt(d_head)) * _lin_cl(p["Q_proj"], q).reshape(
+        b, q_len, h, d_head
+    )
+    kh = _lin_cl(p["K_proj"], kv).reshape(b, kv_len, h, d_head)
+    vh = _lin_cl(p["V_proj"], kv).reshape(b, kv_len, h, d_head)
+    logits = jnp.einsum("nlhd,nshd->nhls", qh, kh)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("nhls,nshd->nlhd", attn, vh).reshape(b, q_len, d)
+    return _lin_cl(p["O_proj"], out)
+
+
+def _transformer_seq(p, x, owned, n_heads, axis, n_shards):
+    """`attentive.TransformerLayer` (v2 `attentive_sudormrf_v2.py:240-261`)
+    under time sharding: q stays local, k/v are the all-gathered owned
+    frames, both GlobLNs psum their statistics."""
+    i = lax.axis_index(axis)
+    g_start = i * owned[1] - owned[0]
+    idx = g_start + lax.iota(jnp.int32, x.shape[-1])
+    c = x.shape[1]
+    xt = jnp.swapaxes(x, 1, 2) + _pe_at(idx, c, x.dtype)[None]
+    kv_global = _gather_owned(jnp.swapaxes(xt, 1, 2), owned, axis, n_shards)
+    xt = xt + _mha_global_kv(p["mha"], xt, jnp.swapaxes(kv_global, 1, 2), n_heads)
+    y = _seq_glob_ln(
+        jnp.swapaxes(xt, 1, 2), p["out_mha_norm"]["gamma"],
+        p["out_mha_norm"]["beta"], owned, axis, n_shards,
+    )
+    ffn = _lin_cf(
+        {"weight": p["ffn"]["conv"]["weight"][:, :, 0],
+         "bias": p["ffn"]["conv"]["bias"]}, y,
+    )
+    ffn = _seq_glob_ln(
+        ffn, p["ffn"]["norm"]["gamma"], p["ffn"]["norm"]["beta"],
+        owned, axis, n_shards,
+    )
+    ffn = _prelu(p["ffn"]["act"], ffn)
+    return _seq_glob_ln(
+        ffn + y, p["out_norm"]["gamma"], p["out_norm"]["beta"],
+        owned, axis, n_shards,
+    )
+
+
+def _mha_norm_seq(p, x, owned, n_heads, axis, n_shards):
+    """`attentive.MHANormLayer` (v1, restored-linears form) under time
+    sharding; the packed-qkv TorchMHA projects q locally and k/v from the
+    gathered global sequence."""
+    att_dim = p["in_linear"]["weight"].shape[0]
+    xt = _lin_cf(p["in_linear"], x)  # (B, A, T)
+    i = lax.axis_index(axis)
+    g_start = i * owned[1] - owned[0]
+    idx = g_start + lax.iota(jnp.int32, x.shape[-1])
+    xt = xt + jnp.swapaxes(_pe_at(idx, att_dim, x.dtype)[None], 1, 2)
+    xt = _seq_glob_ln(
+        xt, p["in_norm"]["gamma"], p["in_norm"]["beta"], owned, axis, n_shards
+    )
+
+    mp = p["mha"]
+    w, bvec = mp["in_proj_weight"], mp["in_proj_bias"]
+    d = att_dim
+    h = n_heads
+    hd = d // h
+    xt_cl = jnp.swapaxes(xt, 1, 2)  # (B, T, A)
+    b, t_loc, _ = xt_cl.shape
+    q = (jnp.einsum("btc,oc->bto", xt_cl, w[:d]) + bvec[:d]).reshape(
+        b, t_loc, h, hd
+    ) / np.sqrt(hd)
+    kv_cl = jnp.swapaxes(_gather_owned(xt, owned, axis, n_shards), 1, 2)
+    kvp = jnp.einsum("btc,oc->bto", kv_cl, w[d:]) + bvec[d:]
+    k, v = jnp.split(kvp, 2, axis=-1)
+    t_glob = kv_cl.shape[1]
+    k = k.reshape(b, t_glob, h, hd)
+    v = v.reshape(b, t_glob, h, hd)
+    logits = jnp.einsum("blhd,bshd->bhls", q, k)
+    attn = jax.nn.softmax(logits, axis=-1)
+    att_out = jnp.einsum("bhls,bshd->blhd", attn, v).reshape(b, t_loc, d)
+    att_out = _lin_cl(
+        {"weight": mp["out_proj"]["weight"], "bias": mp["out_proj"]["bias"]},
+        att_out,
+    )
+    y = xt + _seq_glob_ln(
+        jnp.swapaxes(att_out, 1, 2), p["out_norm1"]["gamma"],
+        p["out_norm1"]["beta"], owned, axis, n_shards,
+    )
+    out = _lin_cf(p["out_linear"], y)
+    out = _seq_glob_ln(
+        out, p["out_norm2"]["gamma"], p["out_norm2"]["beta"],
+        owned, axis, n_shards,
+    )
+    return _prelu(p["act"], out)
+
+
+def _attentive_block_seq(x, bp, depth, masks, owned0, n_heads, variant,
+                         axis, n_shards):
+    """`attentive._AttentiveUConvBlockBase` (v1/v2) with sequence-sharded
+    semantics: halo-recompute convs with out-of-global masks, psum'd GlobLN
+    statistics, and EXACT global attention at the most-downsampled level
+    (all-gather of owned deepest frames as k/v — tiny: 1/2^(depth-1) of the
+    level-0 frame count, `attentive_sudormrf.py:163-193` places the
+    transformer only there)."""
+    h0, o0 = owned0
+    ci = bp["proj_1x1"]["conv"]["weight"].shape[0]
+    residual = x
+    y = _lin_cf(
+        {"weight": bp["proj_1x1"]["conv"]["weight"][:, :, 0],
+         "bias": bp["proj_1x1"]["conv"]["bias"]}, x,
+    )
+    y = _seq_glob_ln(
+        y, bp["proj_1x1"]["norm"]["gamma"], bp["proj_1x1"]["norm"]["beta"],
+        (h0, o0), axis, n_shards,
+    )
+    y = _prelu(bp["proj_1x1"]["act"], y)
+
+    pyramid = []
+    cur = y
+    for k in range(depth):
+        sub = bp[f"spp_dw_{k}"]
+        cur = ops.conv1d(
+            cur * masks[k if k == 0 else k - 1],
+            sub["conv"]["weight"], sub["conv"]["bias"],
+            stride=1 if k == 0 else 2, padding=2, groups=ci,
+        )
+        cur = _seq_glob_ln(
+            cur, sub["norm"]["gamma"], sub["norm"]["beta"],
+            (h0 >> k, o0 >> k), axis, n_shards,
+        )
+        pyramid.append(cur)
+
+    lvl = depth - 1
+    owned_l = (h0 >> lvl, o0 >> lvl)
+    if variant == "v1":
+        att = _mha_norm_seq(
+            bp["attention"], pyramid[-1], owned_l, n_heads, axis, n_shards
+        )
+    else:
+        att = _transformer_seq(
+            bp["attention"], pyramid[-1], owned_l, n_heads, axis, n_shards
+        )
+    acc = att
+    for k in range(depth - 2, -1, -1):
+        acc = pyramid[k] + ops.upsample_nearest_2x(acc)
+
+    acc = _seq_glob_ln(
+        acc, bp["final_norm"]["norm"]["gamma"], bp["final_norm"]["norm"]["beta"],
+        (h0, o0), axis, n_shards,
+    )
+    acc = _prelu(bp["final_norm"]["act"], acc)
+    out = _lin_cf(
+        {"weight": bp["res_conv"]["weight"][:, :, 0],
+         "bias": bp["res_conv"]["bias"]}, acc,
+    )
+    return out + residual
+
+
+def _attentive_seq_forward_shard(
+    params,
+    x_shard,  # (B, owned_samples)
+    *,
+    num_blocks,
+    depth,
+    enc_kernel_size,
+    num_sources,
+    n_heads,
+    variant,
+    n_shards,
+    halo_frames,
+    compute_dtype,
+    axis=SEQ_AXIS,
+):
+    """Attentive SuDoRM-RF (v1/v2) per-shard body under shard_map.
+
+    Convs follow the halo-recompute + out-of-global-mask discipline of
+    `_seq_forward_shard`; the per-block transformer is computed EXACTLY:
+    queries stay local, keys/values are one `lax.all_gather` of every
+    shard's owned deepest-level frames (always exact — erosion consumes
+    halo from the outside in, never the owned core), so in-range local
+    queries see precisely the unsharded global attention. ICI per block =
+    one (B, C, T_f/2^(depth-1)) gather; v3 is NOT offered here because its
+    shallowest cross-attention resampler's k/v live at T_f/2 — gathering
+    ~C/2 floats per input sample per block erases sequence parallelism's
+    memory win (use overlap-add for v3)."""
+    stride = enc_kernel_size // 2
+    halo_s = halo_frames * stride
+    b, owned_s = x_shard.shape
+    if owned_s < halo_s:
+        raise ValueError(
+            f"per-shard length {owned_s} < halo {halo_s}: pad the input or "
+            "shrink halo_frames"
+        )
+    owned_f = owned_s // stride
+    t_f_global = n_shards * owned_f
+
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        params = jax.tree.map(lambda v: v.astype(cdt), params)
+        x_shard = x_shard.astype(cdt)
+
+    xloc = _halo_exchange(x_shard, halo_s, axis, n_shards)
+    f_local = owned_f + 2 * halo_frames
+    masks = _level_masks(
+        depth, f_local, owned_f, halo_frames, t_f_global, axis, x_shard.dtype
+    )
+    owned0 = (halo_frames, owned_f)
+
+    enc_num_basis = params["encoder"]["weight"].shape[0]
+    x = ops.conv1d(
+        xloc, params["encoder"]["weight"], stride=stride, padding=stride
+    )
+    x = x * masks[0]
+    s = x
+    x = _seq_glob_ln(
+        x, params["ln"]["gamma"], params["ln"]["beta"], owned0, axis, n_shards
+    )
+    x = ops.conv1d(
+        x, params["bottleneck"]["weight"], params["bottleneck"]["bias"]
+    )
+
+    for blk in range(num_blocks):
+        x = _attentive_block_seq(
+            x, params[f"sm_{blk}"], depth, masks, owned0, n_heads, variant,
+            axis, n_shards,
+        )
+
+    x = _prelu(params["mask_net_0"], x)
+    x = ops.conv1d(
+        x, params["mask_net_1"]["weight"], params["mask_net_1"]["bias"]
+    )
+    x = x.reshape(b, num_sources, enc_num_basis, -1)
+    x = jax.nn.relu(x)
+    x = x * s[:, None, :, :]
+
+    est = ops.conv_transpose1d(
+        (x * masks[0][:, None]).reshape(b, num_sources * enc_num_basis, -1),
+        params["decoder"]["weight"],
+        stride=stride,
+        padding=stride,
+        output_padding=stride - 1,
+    )
+    out = lax.slice_in_dim(est, halo_s, halo_s + owned_s, axis=2)
+    return out.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "num_blocks", "depth", "enc_kernel_size", "num_sources",
+        "n_heads", "variant", "halo_frames", "compute_dtype",
+    ),
+)
+def attentive_forward_seq(
+    params,
+    input_wav,  # (B, T), T shard-aligned
+    mesh: Mesh,
+    num_blocks: int = 16,
+    depth: int = 4,
+    enc_kernel_size: int = 21,
+    num_sources: int = 2,
+    n_heads: int = 4,
+    variant: str = "v2",
+    halo_frames: Optional[int] = None,
+    compute_dtype: Optional[str] = None,
+):
+    """Time-sharded attentive (v1/v2) forward; equals the unsharded
+    `AttentiveSuDORMRF{,v2}.apply` on the same input (tested). The
+    attention ladder level is reproduced exactly via a global k/v gather,
+    NOT approximated by windowing."""
+    if variant not in ("v1", "v2"):
+        raise ValueError(f"attentive_forward_seq supports v1/v2, got {variant!r}")
+    n_shards = mesh.shape[SEQ_AXIS]
+    if halo_frames is None:
+        halo_frames = default_halo_frames(num_blocks, depth)
+    body = functools.partial(
+        _attentive_seq_forward_shard,
+        num_blocks=num_blocks,
+        depth=depth,
+        enc_kernel_size=enc_kernel_size,
+        num_sources=num_sources,
+        n_heads=n_heads,
+        variant=variant,
+        n_shards=n_shards,
+        halo_frames=halo_frames,
+        compute_dtype=compute_dtype,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, SEQ_AXIS)),
+        out_specs=P(None, None, SEQ_AXIS),
+    )
+    return fn(params, input_wav)
+
+
 def causal_halo_frames(num_blocks: int, depth: int) -> int:
     """Receptive-field radius of the CAUSAL model in encoder frames.
 
@@ -776,16 +1126,23 @@ class SequenceParallelSeparator:
         bucket_samples: int = 0,
         model_type: str = "relu",
         group_size: int = 16,
+        n_heads: int = 4,
     ):
-        if model_type not in ("relu", "groupcomm_v2", "causal"):
+        if model_type not in (
+            "relu", "groupcomm_v2", "causal", "attention", "attention_v2"
+        ):
             raise ValueError(
                 f"sequence parallelism supports 'relu'/'groupcomm_v2'/"
-                f"'causal' (attentive models fall back to overlap-add: "
-                f"their global attention does not factor over time shards), "
-                f"got {model_type!r}"
+                f"'causal'/'attention'/'attention_v2' (attention_v3 falls "
+                f"back to overlap-add: its shallowest cross-attention "
+                f"resampler takes k/v at T/2 frames x C channels, so the "
+                f"per-block gather would move ~C/2 floats per input sample "
+                f"— erasing the per-chip memory win that is the point of "
+                f"time sharding), got {model_type!r}"
             )
         self.model_type = model_type
         self.group_size = group_size
+        self.n_heads = n_heads
         self.params = params
         self.mesh = mesh if mesh is not None else make_seq_mesh()
         self.num_blocks = num_blocks
@@ -847,6 +1204,12 @@ class SequenceParallelSeparator:
             )
         elif self.model_type == "causal":
             est = causal_forward_seq(self.params, arr, self.mesh, **kwargs)
+        elif self.model_type in ("attention", "attention_v2"):
+            est = attentive_forward_seq(
+                self.params, arr, self.mesh, n_heads=self.n_heads,
+                variant="v1" if self.model_type == "attention" else "v2",
+                **kwargs,
+            )
         else:
             est = improved_forward_seq(self.params, arr, self.mesh, **kwargs)
         est = np.asarray(est)[0, :, :t]

@@ -374,5 +374,91 @@ def test_causal_seq_separator():
     assert est.shape == (2, t)
     assert np.isfinite(est).all()
 
+
+# ---------------------------------------------------------------------------
+# attentive v1/v2: exact global attention under time sharding
+# ---------------------------------------------------------------------------
+
+ATT_CFG = dict(
+    out_channels=16, in_channels=32, num_blocks=2, upsampling_depth=3,
+    enc_kernel_size=17, enc_num_basis=16, num_sources=2,
+    n_heads=2, att_dims=16, att_dropout=0.0,
+)
+
+
+def _att_model(variant):
+    from sudo_rm_rf_tpu.models import get_model
+
+    kwargs = dict(ATT_CFG)
+    if variant == "v2":
+        # v2 normally hardcodes 4 heads / 256 dims (ref v2 :386-391);
+        # disable for a test-sized block
+        kwargs["hardcode_block_attention"] = False
+    return get_model("attention" if variant == "v1" else "attention_v2",
+                     **kwargs)
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_attentive_seq_parallel_matches_unsharded(variant):
+    """The per-block transformer at the deepest ladder level is reproduced
+    EXACTLY via a global k/v all-gather (q local) — not windowed. The
+    time-sharded forward must match the unsharded flax apply everywhere,
+    including both global boundaries (`attentive_sudormrf.py:163-193`)."""
+    from sudo_rm_rf_tpu.inference.sequence_parallel import attentive_forward_seq
+
+    model = _att_model(variant)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 512)))["params"]
+    mesh = make_seq_mesh(8)
+    stride = ATT_CFG["enc_kernel_size"] // 2
+    align = stride * 2 ** ATT_CFG["upsampling_depth"]
+    halo = default_halo_frames(ATT_CFG["num_blocks"], ATT_CFG["upsampling_depth"])
+    per = -(-max(halo * stride, align) // align) * align
+    t = 8 * per
+    x = np.random.default_rng(7).standard_normal((2, t)).astype(np.float32)
+
+    ref = model.apply({"params": params}, jnp.asarray(x)[:, None, :])
+    out = attentive_forward_seq(
+        params, jnp.asarray(x), mesh,
+        num_blocks=ATT_CFG["num_blocks"], depth=ATT_CFG["upsampling_depth"],
+        enc_kernel_size=ATT_CFG["enc_kernel_size"], num_sources=2,
+        n_heads=ATT_CFG["n_heads"], variant=variant,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_attentive_seq_separator_arbitrary_length():
+    from sudo_rm_rf_tpu.models import get_model
+
+    # the real kernel size: stride 10 and 2**depth are non-degenerate, so
+    # the model's own v1 LCM pad rule keeps ladder frame counts divisible
+    # (the k=17 test config above relies on pre-aligned inputs)
+    cfg = dict(ATT_CFG, enc_kernel_size=21, hardcode_block_attention=False)
+    model = get_model("attention_v2", **cfg)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 512)))["params"]
+    sep = SequenceParallelSeparator(
+        params, mesh=make_seq_mesh(4),
+        num_blocks=cfg["num_blocks"],
+        upsampling_depth=cfg["upsampling_depth"],
+        enc_kernel_size=cfg["enc_kernel_size"],
+        num_sources=2, model_type="attention_v2",
+        n_heads=cfg["n_heads"], input_normalize=False,
+    )
+    t = 5000 + 37  # deliberately unaligned
+    x = np.random.default_rng(3).standard_normal(t).astype(np.float32)
+    got = sep.separate(x)
+    assert got.shape == (2, t)
+    # same pad→run→crop pipeline on the unsharded apply (GlobLN statistics
+    # see the padded length, so the reference must be padded identically)
+    padded = np.zeros(sep._padded_len(t), np.float32)
+    padded[:t] = x
+    ref = np.asarray(
+        model.apply({"params": params}, jnp.asarray(padded)[None, None, :])
+    )[0, :, :t]
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_attentive_seq_v3_refused_with_reason():
     with pytest.raises(ValueError, match="overlap-add"):
-        SequenceParallelSeparator(params, model_type="attention_v2")
+        SequenceParallelSeparator({}, model_type="attention_v3")
