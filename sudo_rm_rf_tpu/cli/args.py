@@ -109,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--att_dims", type=int, default=256)
     p.add_argument("--att_n_heads", type=int, default=4)
     p.add_argument("--att_dropout", type=float, default=0.1)
-    p.add_argument("--block_impl", type=str, default="fma", choices=["xla", "fma"])
+    p.add_argument("--block_impl", type=str, default="fma",
+                   choices=["xla", "fma", "auto"])
     p.add_argument("--remat_blocks", action="store_true",
                    help="rematerialize block activations (train larger configs)")
     p.add_argument(
@@ -132,6 +133,8 @@ def args_to_config(args) -> ExperimentConfig:
         n_sources = 1
     if args.train and args.train[0] == "FUSS":
         n_sources = args.max_num_sources
+    if args.train and args.train[0] == "MUSDB":
+        n_sources = 4  # drums/bass/other/vocals stem slots
 
     model = ModelConfig(
         model_type=args.model_type,
