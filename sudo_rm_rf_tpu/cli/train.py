@@ -35,6 +35,8 @@ def main(argv=None):
         root = getattr(args, f"{name}_root")
         if root:
             os.environ[f"SUDO_TPU_{name.upper()}_ROOT"] = root
+            if name == "musdb":  # one flag covers both rate variants
+                os.environ["SUDO_TPU_MUSDB8K_ROOT"] = root
 
     from sudo_rm_rf_tpu.parallel import maybe_distributed_initialize
     from sudo_rm_rf_tpu.train.experiment import run_experiment

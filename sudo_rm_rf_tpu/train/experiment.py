@@ -68,6 +68,29 @@ def _make_recipe(config: ExperimentConfig):
 
         return prepare, loss_fn
 
+    if dataset == "MUSDB":
+        # music source separation: the 4 stems (drums/bass/other/vocals,
+        # `musdb_dataset.py:86`) are identity-bearing output slots, so the
+        # loss is FIXED-assignment SI-SDR — PIT would credit a vocals
+        # estimate sitting in the drums slot. Augmentation (random
+        # track+segment per item) happens in the loader per the reference
+        # (`musdb_dataset.py:88-112`); no batch-level remix. The mixture is
+        # the stem sum (musdb's mixture.wav is the linear stem sum by
+        # construction).
+        from sudo_rm_rf_tpu.losses import functional as F
+
+        def prepare(key, batch):  # batch: (B, ch, 4, T) stem stacks
+            stems = batch[-1] if isinstance(batch, (tuple, list)) else batch
+            if stems.ndim == 4:  # collapse audio channels (mono sum)
+                stems = jnp.sum(stems, axis=1)
+            mixture = jnp.sum(stems, axis=1)
+            return mixture[:, None, :], stems
+
+        def loss_fn(est, targets):
+            return -jnp.mean(F.sdr(targets, est, si=True))
+
+        return prepare, loss_fn
+
     def prepare(key, batch):  # batch: (mixture, sources) -> remix sources
         sources = batch[-1] if isinstance(batch, (tuple, list)) else batch
         mixture, new_sources = augment_lib.online_remix_sources(key, sources)
@@ -138,6 +161,39 @@ def run_experiment(
     n_data = _math.gcd(config.data.batch_size, avail)
     mesh = make_mesh(n_data=n_data, n_model=n_model)
 
+    if config.model.block_impl == "auto":
+        # calibrate on the live device at the user's exact (batch, dtype):
+        # the v5e step sits on sharp tiling cliffs (bs8/bf16/xla is 2.4-4x
+        # faster than neighbors at U16/512), so measure, don't guess. The
+        # pick changes speed only — both impls share one param tree.
+        from sudo_rm_rf_tpu.train.autotune import (
+            TUNABLE_FAMILIES, autotune_block_impl,
+        )
+
+        if config.model.model_type in TUNABLE_FAMILIES:
+            kw = dict(
+                out_channels=config.model.out_channels,
+                in_channels=config.model.in_channels,
+                num_blocks=config.model.num_blocks,
+                upsampling_depth=config.model.upsampling_depth,
+                enc_kernel_size=config.model.enc_kernel_size,
+                enc_num_basis=config.model.enc_num_basis,
+                num_sources=config.model.num_sources,
+            )
+            if config.model.model_type == "groupcomm_v2":
+                kw.update(group_size=config.model.group_size,
+                          in_audio_channels=config.model.in_audio_channels)
+            tuned = autotune_block_impl(
+                kw, config.data.batch_size, config.train.compute_dtype,
+                model_type=config.model.model_type,
+                audio_seconds=config.data.audio_timelength,
+                fs=config.data.fs,
+            )
+            print(f"block_impl auto -> {tuned.impl}\n{tuned.table()}")
+            config.model.block_impl = tuned.impl
+        else:
+            config.model.block_impl = "xla"
+
     tp_mesh = (
         mesh
         if n_model > 1
@@ -198,10 +254,25 @@ def run_experiment(
         n_sources=config.model.num_sources,
     )
 
-    sisdri = losses_lib.PermInvariantSISDR(
-        n_sources=config.model.num_sources, zero_mean=True, backward_loss=False,
-        improvement=True, return_individual_results=True,
-    )
+    if dataset == "MUSDB":
+        # fixed-assignment SI-SDRi per sample (see the MUSDB recipe note in
+        # `_make_recipe`: stems are identity-bearing slots, PIT would
+        # overcredit). Same call signature as PermInvariantSISDR.
+        from sudo_rm_rf_tpu.losses import functional as _F
+
+        def sisdri(est, targets, initial_mixtures):
+            si = _F.sdr(targets, est, si=True)
+            base = _F.sdr(
+                targets, jnp.broadcast_to(initial_mixtures, targets.shape),
+                si=True,
+            )
+            return jnp.mean(si - base, axis=-1)
+    else:
+        sisdri = losses_lib.PermInvariantSISDR(
+            n_sources=config.model.num_sources, zero_mean=True,
+            backward_loss=False, improvement=True,
+            return_individual_results=True,
+        )
 
     # ONE jitted program per val batch: through a remote device relay, the
     # eager per-op dispatch of the metric costs more than the forward itself
@@ -316,6 +387,14 @@ def run_experiment(
             return np.asarray(summed)[:, None, :]
         return m
 
+    def _val_targets(arr):
+        """Loaders yield (B, S, T) source stacks except MUSDB, whose items
+        are (ch, 4, T) stem stacks (`data/musdb.py:28`): collapse the audio-
+        channel axis (mono sum — the loader's own rule) so every val path
+        sees the (B, S, T) contract."""
+        arr = np.asarray(arr)
+        return arr.sum(axis=1) if arr.ndim == 4 else arr
+
     def _materialize_val(gen):
         """-> ('targets', tstack) | ('pairs', mstack, tstack) | None."""
         on_device = _materialize_val_on_device(gen)
@@ -325,9 +404,9 @@ def run_experiment(
         for batch in gen:
             if isinstance(batch, (tuple, list)) and len(batch) >= 2:
                 mixtures.append(_val_mixture(batch[0]))
-                targets.append(np.asarray(batch[-1]))
+                targets.append(_val_targets(batch[-1]))
             else:
-                targets.append(np.asarray(batch))
+                targets.append(_val_targets(batch))
         if not targets:
             return None
         shapes = {t.shape for t in targets}
@@ -514,9 +593,11 @@ def run_experiment(
                 else:
                     for batch in gen:
                         if isinstance(batch, (tuple, list)) and len(batch) >= 2:
-                            mixture, targets = _val_mixture(batch[0]), batch[-1]
+                            mixture, targets = (
+                                _val_mixture(batch[0]), _val_targets(batch[-1])
+                            )
                         else:  # variable-count sources, no per-count split
-                            targets = batch
+                            targets = _val_targets(batch)
                             mixture = np.asarray(targets).sum(1, keepdims=True)
                         vals, est = _val_step(
                             state.params, jnp.asarray(mixture),
