@@ -39,11 +39,114 @@ def fidelity_db(want: np.ndarray, got: np.ndarray) -> float:
     return float(10 * np.log10((want**2).sum() / err))
 
 
+def families_sweep(args):
+    """Per-family int8 attribution for the GC R16/512 path (round-4 VERDICT
+    next #3): GC int8 with ALL matmul families quantized measures 22-24 dB
+    (below the 25 dB gate — error compounds over the 16 residual blocks), so
+    find which family carries the damage, exactly like the u36_wide
+    res-stays-bf16 attribution for the improved model (BENCHMARKS.md wide-
+    config section). Prints (a) an 'only-F' and 'all-but-F' fidelity table
+    over GC_ALL_FAMILIES, (b) a greedy gate search dropping the most
+    damaging family until fidelity >= 25 dB, (c) timed rows for the gated
+    recipe at each --bs."""
+    from sudo_rm_rf_tpu import models
+    from sudo_rm_rf_tpu.models.quantized import (
+        GC_ALL_FAMILIES, calibrate_gc_scales, groupcomm_forward_int8,
+        quantize_gc_params,
+    )
+    from sudo_rm_rf_tpu.utils.benchmark import timed_loop
+
+    t = int(SECONDS * SR)
+    model = models.GroupCommSuDORMRF(**HP)
+    x0 = jax.random.normal(jax.random.key(1), (4, 1, t), jnp.float32)
+    params = model.init(jax.random.key(0), x0)["params"]
+    x = jax.random.normal(jax.random.key(2), (4, 1, t), jnp.float32)
+    want = np.asarray(model.apply({"params": params}, x))
+
+    def fid_of(families):
+        if not families:  # all-bf16 control
+            from sudo_rm_rf_tpu.models.fast_inference import (
+                groupcomm_forward_fast,
+            )
+
+            got = np.asarray(groupcomm_forward_fast(
+                params, x, impl="fma_merged", compute_dtype="bfloat16",
+                **FWD_KW)).astype(np.float32)
+            return fidelity_db(want, got)
+        qp = quantize_gc_params(params, families=tuple(families))
+        sc = calibrate_gc_scales(qp, x0, **FWD_KW)
+        got = np.asarray(
+            groupcomm_forward_int8(qp, x, scales=sc, **FWD_KW)
+        ).astype(np.float32)
+        return fidelity_db(want, got)
+
+    rows = {"bf16_control": round(fid_of(()), 1),
+            "all_int8": round(fid_of(GC_ALL_FAMILIES), 1)}
+    only, all_but = {}, {}
+    for f in GC_ALL_FAMILIES:
+        only[f] = round(fid_of((f,)), 1)
+        all_but[f] = round(
+            fid_of(tuple(g for g in GC_ALL_FAMILIES if g != f)), 1
+        )
+    print(json.dumps({"attribution_only_F_int8": only}), flush=True)
+    print(json.dumps({"attribution_all_but_F_int8": all_but}), flush=True)
+
+    # greedy gate search: repeatedly return the most damaging family
+    # (lowest only-F fidelity) to bf16 until the 25 dB gate passes
+    gate = 25.0
+    active = sorted(GC_ALL_FAMILIES, key=lambda f: only[f])
+    recipe = list(GC_ALL_FAMILIES)
+    fid = rows["all_int8"]
+    dropped = []
+    while fid < gate and active:
+        worst = active.pop(0)
+        recipe.remove(worst)
+        dropped.append(worst)
+        fid = round(fid_of(tuple(recipe)), 1)
+        print(json.dumps({"greedy_drop": worst, "recipe": recipe,
+                          "fidelity_db": fid}), flush=True)
+    result = {
+        "bf16_control_db": rows["bf16_control"],
+        "all_int8_db": rows["all_int8"],
+        "gated_recipe": recipe if fid >= gate else None,
+        "kept_bf16": dropped,
+        "gated_fidelity_db": fid if fid >= gate else None,
+        "gate_db": gate,
+    }
+    print(json.dumps(result), flush=True)
+
+    if fid >= gate and recipe:
+        qp = quantize_gc_params(params, families=tuple(recipe))
+        sc = calibrate_gc_scales(qp, x0, **FWD_KW)
+        for bs in args.bs:
+            xb = jax.random.normal(jax.random.key(3), (bs, 1, t), jnp.float32)
+
+            def step(c):
+                y = groupcomm_forward_int8(qp, c, scales=sc, **FWD_KW)
+                return (jnp.sum(y, axis=1, keepdims=True).astype(c.dtype)
+                        * 0.1 + c * 0.9)
+
+            secs = timed_loop(step, xb, n_hi=args.n_hi)
+            print(json.dumps({
+                "path": "int8_mixed_gated", "bs": bs,
+                "families": recipe,
+                "ms_batch": round(secs * 1e3, 2),
+                "au_s_per_s": round(bs * SECONDS / secs, 1),
+                "fidelity_db": fid,
+            }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, nargs="+", default=[4, 8])
     ap.add_argument("--n_hi", type=int, default=21)
+    ap.add_argument("--families_sweep", action="store_true",
+                    help="per-family int8 attribution + greedy 25 dB gate "
+                         "search (round-4 VERDICT next #3)")
     args = ap.parse_args()
+    if args.families_sweep:
+        families_sweep(args)
+        return
 
     from sudo_rm_rf_tpu import models
     from sudo_rm_rf_tpu.models.fast_inference import groupcomm_forward_fast
