@@ -37,6 +37,19 @@ def flops_of(fn: Callable, *args) -> Optional[float]:
         return None
 
 
+def bytes_accessed_of(fn: Callable, *args) -> Optional[float]:
+    """XLA cost-analysis bytes accessed (HBM traffic estimate) of the jitted
+    fn — the numerator of the bandwidth roofline `t_min = bytes / BW`."""
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("bytes accessed", float("nan")))
+    except Exception:
+        return None
+
+
 # Per-chip peak matmul throughput (FLOP/s) by device kind, used for MFU
 # accounting (the reference reports raw GMACs via thop,
 # `extract_model_performance.py:147-158`; on TPU the roofline fraction is the
