@@ -98,12 +98,73 @@ def render_convergence_run(run):
     summary.json + loss_curve.jsonl, no per-epoch metrics."""
     s = run["summary"]
     lines = [f"### {run['name']} (convergence run)", ""]
+    ga = s.get("grad_accum", 1) or 1
+    ga_txt = f" x grad_accum {ga} (effective bs{s.get('bs', 0) * ga})" \
+        if ga > 1 else ""
     lines.append(
         f"{s.get('model')} — {s.get('steps')} real Trainer steps, "
-        f"bs{s.get('bs')}, {s.get('compute_dtype')}: mean loss "
+        f"bs{s.get('bs')}{ga_txt}, {s.get('compute_dtype')}: mean loss "
         f"{s.get('first_mean_loss')} → {s.get('last_mean_loss')} "
         f"({'improved' if s.get('improved') else 'did NOT improve'}, "
         f"{s.get('wall_s')} s wall)")
+    lines.append("")
+    return lines
+
+
+def render_longform_run(run):
+    """Long-form artifact (scripts/longform_run.py): per-engine quality +
+    throughput on one long recording."""
+    s = run["summary"]
+    mins = s.get("recording_minutes")
+    lines = [f"### {run['name']} (long-form separation run)", "",
+             f"{s.get('model')} — one {mins}-minute recording @ "
+             f"{s.get('fs')} Hz, {s.get('compute_dtype')}, "
+             f"{s.get('n_devices')} device(s):", "",
+             "| engine | SI-SDRi | s/recording | audio-s/s |",
+             "|---|---|---|---|"]
+    for name, row in s.get("engines", {}).items():
+        lines.append(
+            f"| {name} | {row.get('si_sdri_db')} dB | "
+            f"{row.get('seconds_per_recording')} | "
+            f"{row.get('audio_sec_per_sec')} |")
+    lines.append("")
+    return lines
+
+
+def render_corpus_scaling(run_dir, repo):
+    """Corpus-scaling study: best val/test per scale from the suffixed
+    metric files (1x point = the flagship run artifact)."""
+    def best(path):
+        b = (-1e9, None)
+        with open(path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                v = rec.get("val_SISDRi")
+                if v is not None and v > b[0]:
+                    b = (v, rec.get("test_SISDRi"))
+        return b
+
+    points = []
+    for tag, label in (("05x", "0.5x"), ("2x", "2x")):
+        mpath = os.path.join(run_dir, f"metrics_{tag}.jsonl")
+        if os.path.exists(mpath):
+            points.append((label, *best(mpath)))
+    flag = os.path.join(repo, "docs", "runs", "improved_u16_synth_full",
+                        "metrics.jsonl")
+    if os.path.exists(flag):
+        points.insert(1 if points and points[0][0] == "0.5x" else 0,
+                      ("1x", *best(flag)))
+    if not points:
+        return []
+    lines = ["### corpus_scaling (data-bound plateau study)", "",
+             "Flagship recipe, fixed step budget, train source-pool size "
+             "swept (see `docs/runs/corpus_scaling/README.md`):", "",
+             "| corpus scale | best val SI-SDRi | test @ best |",
+             "|---|---|---|"]
+    for label, v, t in points:
+        lines.append(f"| {label} | {v:.2f} dB | "
+                     f"{t:.2f} dB |" if t is not None else
+                     f"| {label} | {v:.2f} dB | — |")
     lines.append("")
     return lines
 
@@ -222,13 +283,28 @@ def render(repo):
     else:
         lines.append("_no BENCH_r*.json found_")
     lines += ["", "## Training runs (docs/runs/*)", ""]
-    run_dirs = sorted(glob.glob(os.path.join(repo, "docs", "runs", "*", "")))
+    run_dirs = sorted(
+        glob.glob(os.path.join(repo, "docs", "runs", "*", ""))
+        + glob.glob(os.path.join(repo, "docs", "runs", "*", "*", ""))
+    )
     found = False
     for rd in run_dirs:
+        if os.path.basename(rd.rstrip("/")) == "corpus_scaling":
+            scaled = render_corpus_scaling(rd, repo)
+            if scaled:
+                found = True
+                lines += scaled
+            continue
         run = load_run(rd)
+        if os.path.dirname(rd.rstrip("/")) != os.path.join(
+                repo, "docs", "runs"):
+            run["name"] = "/".join(rd.rstrip("/").split(os.sep)[-2:])
         if run["rows"] or run["hparams"]:
             found = True
             lines += render_run(run)
+        elif run.get("summary", {}).get("engines"):
+            found = True
+            lines += render_longform_run(run)
         elif run.get("summary"):
             found = True
             lines += render_convergence_run(run)
