@@ -67,7 +67,7 @@ def load_bench_rounds(repo):
 def load_run(run_dir):
     """docs/runs/<name>/ -> dict with hparams, per-epoch rows, and summary."""
     out = {"name": os.path.basename(run_dir.rstrip("/")), "hparams": {},
-           "rows": []}
+           "rows": [], "dir": run_dir}
     hp = os.path.join(run_dir, "hparams.json")
     if os.path.exists(hp):
         out["hparams"] = json.load(open(hp))
@@ -107,6 +107,21 @@ def render_convergence_run(run):
         f"{s.get('first_mean_loss')} → {s.get('last_mean_loss')} "
         f"({'improved' if s.get('improved') else 'did NOT improve'}, "
         f"{s.get('wall_s')} s wall)")
+    lines.append("")
+    return lines
+
+
+def render_generic_summary(run):
+    """Any other artifact that ships a summary.json (e.g. the
+    torch_training_parity crosscheck): list its scalar fields instead of
+    forcing it through a renderer whose fields it doesn't have."""
+    s = run["summary"]
+    lines = [f"### {run['name']}", ""]
+    for k, v in s.items():
+        if isinstance(v, (int, float, str, bool)):
+            lines.append(f"- {k}: {v}")
+    if os.path.exists(os.path.join(run.get("dir", ""), "README.md")):
+        lines += ["", f"(details: `docs/runs/{run['name']}/README.md`)"]
     lines.append("")
     return lines
 
@@ -305,9 +320,12 @@ def render(repo):
         elif run.get("summary", {}).get("engines"):
             found = True
             lines += render_longform_run(run)
-        elif run.get("summary"):
+        elif run.get("summary") and {"model", "steps"} <= set(run["summary"]):
             found = True
             lines += render_convergence_run(run)
+        elif run.get("summary"):
+            found = True
+            lines += render_generic_summary(run)
     if not found:
         lines.append("_no run artifacts found_")
     lines += [

@@ -60,6 +60,12 @@ def main():
     ):
         by = bytes_accessed_of(fn, x)
         fl = flops_of(fn, x)
+        if by is None or fl is None:
+            raise SystemExit(
+                f"{name}: XLA cost analysis unavailable on this backend "
+                "(bytes/flops returned None) — run on a backend whose "
+                "compiled executable exposes cost_analysis()"
+            )
         logical_ms = by / (V5E_HBM_GBPS * 1e9) * 1e3
         compute_ms = fl / peak * 1e3
         rows[name] = {

@@ -60,6 +60,8 @@ def main(argv=None):
     p.add_argument("--enc_num_basis", type=int, default=512)
     p.add_argument("--num_sources", type=int, default=2)
     p.add_argument("--group_size", type=int, default=16)
+    p.add_argument("--n_heads", type=int, default=4)
+    p.add_argument("--att_dims", type=int, default=256)
     args = p.parse_args(argv)
 
     import numpy as np
@@ -77,6 +79,9 @@ def main(argv=None):
     )
     if args.model_type == "groupcomm_v2":
         hp["group_size"] = args.group_size
+    if args.model_type.startswith("attention"):
+        hp["n_heads"] = args.n_heads
+        hp["att_dims"] = args.att_dims
 
     t = int(args.fs * args.timelength)
     if args.checkpoint.endswith(".pt"):
@@ -153,9 +158,12 @@ def main(argv=None):
         if args.full_length_mode == "seq_parallel":
             from sudo_rm_rf_tpu.inference import SequenceParallelSeparator
 
-            if args.model_type not in ("relu", "groupcomm_v2"):
+            seq_types = ("relu", "groupcomm_v2", "causal", "attention",
+                         "attention_v2")
+            if args.model_type not in seq_types:
                 p.error("--full_length_mode seq_parallel supports "
-                        "model_type 'relu' or 'groupcomm_v2'")
+                        f"model_type in {seq_types} (attention_v3 falls "
+                        "back to overlap_add)")
             ola = SequenceParallelSeparator(
                 params,
                 num_blocks=hp["num_blocks"],
@@ -165,6 +173,7 @@ def main(argv=None):
                 mixture_consistency=args.mixture_consistency,
                 model_type=args.model_type,
                 group_size=hp.get("group_size", args.group_size),
+                n_heads=args.n_heads,
             )
         else:
             from sudo_rm_rf_tpu.inference import OverlapAddSeparator

@@ -65,7 +65,7 @@ class AutotuneResult:
         return "\n".join(lines)
 
 
-def measure_train_step_ms(
+def measure_train_step_secs(
     model,
     batch_size: int,
     compute_dtype: Optional[str],
@@ -75,8 +75,8 @@ def measure_train_step_ms(
     loss_clamp: float = 30.0,
     num_sources: int = 2,
 ) -> float:
-    """Wall-clock one real train step (donated, jitted, augment included)
-    via the repo-wide chained-loop differencing discipline."""
+    """Wall-clock SECONDS for one real train step (donated, jitted, augment
+    included) via the repo-wide chained-loop differencing discipline."""
     from sudo_rm_rf_tpu.train import Trainer, TrainerConfig
     from sudo_rm_rf_tpu.utils.benchmark import timed_loop
 
@@ -114,16 +114,31 @@ def autotune_train_config(
     n_hi: int = 9,
 ) -> AutotuneResult:
     """Measure every (impl, batch) candidate; return the highest-throughput
-    pair (audio-sec trained per wall-sec) plus the full table."""
+    pair (audio-sec trained per wall-sec) plus the full table.
+
+    The calibration batch mirrors the model's own training recipe shape:
+    ``num_sources`` is read from ``model_kwargs`` (MUSDB trains 4 stems,
+    FUSS up to 4 — a hardcoded 2 would crash the PIT loss einsum for
+    them). Multichannel input (``in_audio_channels > 1``) has a different
+    batch contract than the default remix prepare; callers must skip the
+    tuner for it (`experiment.py` falls back to 'xla' with a note).
+    """
     from sudo_rm_rf_tpu import models
 
+    if model_kwargs.get("in_audio_channels", 1) != 1:
+        raise ValueError(
+            "autotune calibrates with the single-channel remix batch "
+            "contract; pass in_audio_channels=1 or pick block_impl "
+            "explicitly for multichannel models"
+        )
+    num_sources = int(model_kwargs.get("num_sources", 2))
     rows = []
     for impl in impls:
         for bs in batch_sizes:
             model = models.get_model(model_type, **model_kwargs, block_impl=impl)
             try:
-                secs = measure_train_step_ms(
-                    model, bs, compute_dtype,
+                secs = measure_train_step_secs(
+                    model, bs, compute_dtype, num_sources=num_sources,
                     audio_seconds=audio_seconds, fs=fs, n_hi=n_hi,
                 )
             except Exception as e:  # OOM / relay-limit rows are data too

@@ -170,7 +170,9 @@ def run_experiment(
             TUNABLE_FAMILIES, autotune_block_impl,
         )
 
-        if config.model.model_type in TUNABLE_FAMILIES:
+        multichannel = (config.model.model_type == "groupcomm_v2"
+                        and config.model.in_audio_channels != 1)
+        if config.model.model_type in TUNABLE_FAMILIES and not multichannel:
             kw = dict(
                 out_channels=config.model.out_channels,
                 in_channels=config.model.in_channels,
@@ -179,10 +181,12 @@ def run_experiment(
                 enc_kernel_size=config.model.enc_kernel_size,
                 enc_num_basis=config.model.enc_num_basis,
                 num_sources=config.model.num_sources,
+                # calibrate the program that will actually train: remat
+                # changes the xla-vs-fma backward cost ratio
+                remat_blocks=config.model.remat_blocks,
             )
             if config.model.model_type == "groupcomm_v2":
-                kw.update(group_size=config.model.group_size,
-                          in_audio_channels=config.model.in_audio_channels)
+                kw.update(group_size=config.model.group_size)
             tuned = autotune_block_impl(
                 kw, config.data.batch_size, config.train.compute_dtype,
                 model_type=config.model.model_type,
@@ -192,6 +196,9 @@ def run_experiment(
             print(f"block_impl auto -> {tuned.impl}\n{tuned.table()}")
             config.model.block_impl = tuned.impl
         else:
+            if multichannel:
+                print("block_impl auto: multichannel batch contract is not "
+                      "calibratable, using 'xla'")
             config.model.block_impl = "xla"
 
     tp_mesh = (

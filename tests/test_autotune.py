@@ -56,6 +56,26 @@ def test_autotune_groupcomm_family():
     assert res.impl in ("xla", "fma")
 
 
+def test_autotune_four_sources():
+    """MUSDB/FUSS-style models (num_sources != 2) must calibrate with a
+    matching batch — a hardcoded 2-source batch crashes the PIT einsum."""
+    res = autotune_block_impl(
+        dict(TINY, num_sources=4), batch_size=2, compute_dtype=None,
+        model_type="relu", audio_seconds=0.5, n_hi=3,
+    )
+    assert res.impl in ("xla", "fma")
+    assert all(r.error is None for r in res.rows), res.rows
+
+
+def test_autotune_rejects_multichannel():
+    with pytest.raises(ValueError, match="in_audio_channels"):
+        autotune_block_impl(
+            dict(TINY, group_size=4, in_audio_channels=2), batch_size=2,
+            compute_dtype=None, model_type="groupcomm_v2",
+            audio_seconds=0.5, n_hi=3,
+        )
+
+
 def test_experiment_block_impl_auto(tmp_path):
     """--block_impl auto resolves to a measured impl before model build,
     end-to-end through the experiment runner."""
