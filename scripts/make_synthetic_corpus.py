@@ -62,7 +62,9 @@ def synth_utterance(spk: dict, rng: np.random.Generator, fs: int, n: int):
         0.4, 1.0, n_syl + 1
     )
     env = np.interp(np.arange(n), np.linspace(0, n - 1, n_syl + 1), gates)
-    win = int(0.02 * fs)
+    # `mode="same"` returns max(len(env), win) samples, so a segment shorter
+    # than the 20 ms smoothing window would come back win-long; clamp.
+    win = max(1, min(int(0.02 * fs), n))
     env = np.convolve(env, np.ones(win) / win, mode="same").astype(np.float32)
     x = excitation * env
     for f_hz, bw in spk["formants"]:

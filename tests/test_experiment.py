@@ -350,6 +350,76 @@ def test_fuss_validation_matches_torch_pipeline(tmp_path):
         )
 
 
+def test_musdb_recipe_fixed_assignment(tmp_path):
+    """MUSDB recipe: the 4 stems are identity-bearing output slots
+    (`musdb_dataset.py:86`), so the loss must be FIXED-assignment SI-SDR —
+    swapping two estimate slots has to change it (PIT would not)."""
+    import jax
+
+    from sudo_rm_rf_tpu.train.experiment import _make_recipe
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(model_type="relu", num_sources=4),
+        data=DataConfig(train=("MUSDB",)),
+    )
+    prepare, loss_fn = _make_recipe(cfg)
+    rng = np.random.default_rng(0)
+    stems = rng.standard_normal((2, 1, 4, 800)).astype(np.float32)
+    mix, targets = prepare(jax.random.key(0), np.asarray(stems))
+    # mixture is the linear stem sum of the mono-collapsed stack
+    assert mix.shape == (2, 1, 800) and targets.shape == (2, 4, 800)
+    np.testing.assert_allclose(
+        np.asarray(mix[:, 0]), stems[:, 0].sum(1), rtol=1e-6
+    )
+    est = np.asarray(targets) + 0.1 * rng.standard_normal(
+        targets.shape
+    ).astype(np.float32)
+    aligned = float(loss_fn(est, targets))
+    swapped = float(loss_fn(est[:, [1, 0, 2, 3]], targets))
+    assert np.isfinite(aligned) and swapped > aligned + 1.0
+
+
+def test_run_experiment_musdb_recipe(tmp_path):
+    """MUSDB branch end to end: dir-of-stems corpus -> fixed-assignment
+    training loss + fixed-order val SI-SDRi over the predefined per-track
+    segments (`musdb_dataset.py:88-112`)."""
+    from scipy.io import wavfile as wf
+
+    from sudo_rm_rf_tpu.train.experiment import run_experiment
+    from sudo_rm_rf_tpu.utils import ExperimentLogger
+
+    rng = np.random.default_rng(5)
+    for split, n_tracks in (("train", 3), ("test", 2)):
+        for i in range(n_tracks):
+            d = tmp_path / "corpus" / split / f"track{i:03d}"
+            os.makedirs(d, exist_ok=True)
+            stems = rng.standard_normal((4, SR * 2)).astype(np.float32)
+            for name, wav in zip(
+                ("drums", "bass", "other", "vocals"), stems
+            ):
+                wf.write(str(d / f"{name}.wav"), SR,
+                         (wav * 8000).astype(np.int16))
+            wf.write(str(d / "mixture.wav"), SR,
+                     (stems.sum(0) * 8000).astype(np.int16))
+    os.environ["SUDO_TPU_MUSDB8K_ROOT"] = str(tmp_path / "corpus")
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(model_type="relu", out_channels=16, in_channels=32,
+                          num_blocks=1, upsampling_depth=2, enc_kernel_size=21,
+                          enc_num_basis=16, num_sources=4),
+        data=DataConfig(train=("MUSDB",), val=("MUSDB",), fs=SR,
+                        audio_timelength=1.0, batch_size=2, n_jobs=1,
+                        n_train=4, n_val=2),
+        train=TrainConfig(n_epochs=1, save_checkpoint_every=0,
+                          checkpoints_path=str(tmp_path / "ckpt")),
+        experiment_name="musdb_exp",
+    )
+    logger = ExperimentLogger(str(tmp_path / "logs"), "musdb_exp")
+    state, history = run_experiment(cfg, logger=logger)
+    assert np.isfinite(history[-1]["tr_loss"])
+    assert np.isfinite(history[-1]["val_SISDRi"])
+
+
 def test_early_stop_on_plateau(tiny_config, tmp_path):
     """--early_stop_patience: lr=0 training never improves val, so a 5-epoch
     budget must stop after (1 + patience) epochs."""
